@@ -1,0 +1,3 @@
+from igdm_tpu.checkpoint.pytree_io import save_checkpoint, load_checkpoint
+
+__all__ = ["save_checkpoint", "load_checkpoint"]

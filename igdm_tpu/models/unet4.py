@@ -1,0 +1,134 @@
+"""4-level GroupNorm+SiLU U-Net — the reference's third-generation model.
+
+Reimplements ``Shared.SimpleUNet`` (last_desperate_attempt/src/shared.jl:128-354)
+TPU-natively: NHWC, stateless GroupNorm (no running stats — ideal under data
+parallelism), FiLM-style additive time bias per level, bilinear upsampling.
+
+Two reference bugs are deliberately FIXED (SURVEY.md section 7.3):
+  * the time-embedding MLP trains (the reference's ``Zygote.@nograd
+    TimeEmbedMLP`` at shared.jl:84 froze it at init),
+  * the per-column Julia loops in add_time!/time MLP (shared.jl:115,300-302)
+    are batched matmuls on the MXU.
+
+The final sigmoid (shared.jl:273-276) is reproduced behind ``final_sigmoid``
+(default True for parity); pass False for a proper unconstrained
+epsilon-prediction head.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from igdm_tpu.models.embeddings import timestep_embedding
+from igdm_tpu.ops.nn import conv2d, group_norm, max_pool_2x2, silu, upsample_bilinear_2x
+
+TIME_DIM = 128
+
+
+def _glorot(key, shape, fan_in, fan_out):
+    limit = jnp.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, jnp.float32, -limit, limit)
+
+
+def _conv(key, kh, kw, cin, cout, *, bias=True):
+    p = {"w": _glorot(key, (kh, kw, cin, cout), kh * kw * cin, kh * kw * cout)}
+    if bias:
+        p["b"] = jnp.zeros((cout,), jnp.float32)
+    return p
+
+
+def _dense(key, din, dout):
+    return {"w": _glorot(key, (din, dout), din, dout), "b": jnp.zeros((dout,), jnp.float32)}
+
+
+def _gn(c):
+    return {"scale": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def _conv_block(key, cin, cout, *, double=True):
+    ks = jax.random.split(key, 2)
+    block = {"conv1": _conv(ks[0], 3, 3, cin, cout), "gn1": _gn(cout)}
+    if double:
+        block["conv2"] = _conv(ks[1], 3, 3, cout, cout)
+        block["gn2"] = _gn(cout)
+    return block
+
+
+def init(key, in_channels: int = 1, base_ch: int = 64, time_dim: int = TIME_DIM):
+    """Initialize the params pytree. base_ch=80 is the reference training
+    config (train_net.jl:188); 64 its sampling config (sample.jl:93)."""
+    b1, b2, b4, b8, b16 = (base_ch * m for m in (1, 2, 4, 8, 16))
+    ks = jax.random.split(key, 16)
+    return {
+        "time_mlp": {
+            "dense1": _dense(ks[0], time_dim, 256),
+            "dense2": _dense(ks[1], 256, 128),
+        },
+        "down1": {"block": _conv_block(ks[2], in_channels, b1), "tbias": _dense(ks[3], 128, b1)},
+        "down2": {"block": _conv_block(ks[4], b1, b2), "tbias": _dense(ks[5], 128, b2)},
+        "down3": {"block": _conv_block(ks[6], b2, b4), "tbias": _dense(ks[7], 128, b4)},
+        "down4": {"block": _conv_block(ks[8], b4, b8), "tbias": _dense(ks[9], 128, b8)},
+        "mid": {"block": _conv_block(ks[10], b8, b16), "tbias": _dense(ks[11], 128, b16)},
+        "up3": {"block": _conv_block(ks[12], b16 + b8, b8), "tbias": _dense(ks[13], 128, b8)},
+        "up2": {"block": _conv_block(ks[14], b8 + b4, b4), "tbias": _dense(ks[15], 128, b4)},
+        "up1": {
+            "block": _conv_block(jax.random.fold_in(key, 101), b4 + b2, b2),
+            "tbias": _dense(jax.random.fold_in(key, 102), 128, b2),
+        },
+        "up0": {
+            "block": _conv_block(jax.random.fold_in(key, 103), b2 + b1, b1, double=False),
+            "tbias": _dense(jax.random.fold_in(key, 104), 128, b1),
+        },
+        "final": _conv(jax.random.fold_in(key, 105), 1, 1, b1, 1, bias=False),
+    }
+
+
+def _apply_block(p, x, *, groups=8):
+    h = conv2d(x, p["conv1"]["w"], p["conv1"]["b"])
+    h = silu(group_norm(h, p["gn1"]["scale"], p["gn1"]["bias"], groups=groups))
+    if "conv2" in p:
+        h = conv2d(h, p["conv2"]["w"], p["conv2"]["b"])
+        h = silu(group_norm(h, p["gn2"]["scale"], p["gn2"]["bias"], groups=groups))
+    return h
+
+
+def _add_time(p_level, h, tfeat):
+    """h + Dense(tfeat) broadcast over H, W (shared.jl:102-120), as one batched
+    matmul: (B,128)@(128,C) -> (B,C) -> (B,1,1,C)."""
+    bias = jnp.dot(tfeat, p_level["tbias"]["w"], preferred_element_type=jnp.float32)
+    bias = bias + p_level["tbias"]["b"]
+    return h + bias[:, None, None, :]
+
+
+def apply(params, x, ts, *, groups: int = 8, final_sigmoid: bool = True, time_dim: int = TIME_DIM):
+    """Forward pass: x (B,H,W,C), ts (B,) integer timesteps -> (B,H,W,1)."""
+    raw = timestep_embedding(ts, time_dim)  # (B, time_dim)
+    t1 = params["time_mlp"]["dense1"]
+    t2 = params["time_mlp"]["dense2"]
+    tfeat = silu(jnp.dot(raw, t1["w"], preferred_element_type=jnp.float32) + t1["b"])
+    tfeat = jnp.dot(tfeat, t2["w"], preferred_element_type=jnp.float32) + t2["b"]
+
+    skips = []
+    h = x
+    for name in ("down1", "down2", "down3", "down4"):
+        h = _apply_block(params[name]["block"], h, groups=groups)
+        h = _add_time(params[name], h, tfeat)
+        skips.append(h)
+        h = max_pool_2x2(h)
+
+    h = _apply_block(params["mid"]["block"], h, groups=groups)
+    h = _add_time(params["mid"], h, tfeat)
+
+    for name, skip in zip(("up3", "up2", "up1", "up0"), reversed(skips)):
+        h = upsample_bilinear_2x(h)
+        h = jnp.concatenate([h, skip], axis=-1)
+        h = _apply_block(params[name]["block"], h, groups=groups)
+        h = _add_time(params[name], h, tfeat)
+
+    out = conv2d(h, params["final"]["w"])
+    return jax.nn.sigmoid(out) if final_sigmoid else out
+
+
+def num_params(params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

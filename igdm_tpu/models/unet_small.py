@@ -1,0 +1,165 @@
+"""SimpleUNet — the 2-level, time-conditioned DDPM noise predictor.
+
+Topology matches the reference's 847,169-param model exactly so its BSON
+checkpoints can be imported (src/train_brain.jl:89-179):
+
+  down1: Conv3x3 (1+D)->64 +BN(relu), Conv3x3 64->64 +BN(relu)
+  down2: MaxPool2x2, Conv3x3 64->128 +BN(relu), Conv3x3 128->128 +BN(relu)
+  mid:   Conv3x3 128->128 +BN(relu) x2
+  up2:   ConvT2x2 128->64 stride 2, Conv3x3 64->64 +BN(relu) x2
+  up1:   Conv3x3 128->64 +BN(relu), Conv3x3 64->64 +BN(relu)  (after skip concat)
+  final: Conv1x1 64->1
+
+Time conditioning is the reference's input-concat scheme: the (B, D) sinusoidal
+embedding broadcasts over H, W and concatenates onto the input channels
+(src/train_brain.jl:163-168). In NHWC this broadcast fuses into the first conv;
+nothing is materialized host-side.
+
+Layout: activations NHWC, kernels HWIO, params a plain pytree. BatchNorm
+running statistics live in a separate ``state`` pytree so the apply function
+stays pure: ``apply(params, state, x, t_emb, train=...) -> (eps_hat, state')``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from igdm_tpu.ops.nn import batch_norm, conv2d, conv_transpose2d, max_pool_2x2
+
+EMBED_DIM = 128
+
+
+def _conv_init(key, kh, kw, cin, cout):
+    fan_in = kh * kw * cin
+    fan_out = kh * kw * cout
+    limit = jnp.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, (kh, kw, cin, cout), jnp.float32, -limit, limit)
+
+
+def _conv(key, kh, kw, cin, cout):
+    return {"w": _conv_init(key, kh, kw, cin, cout), "b": jnp.zeros((cout,), jnp.float32)}
+
+
+def _bn(c):
+    return {"scale": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def _bn_state(c):
+    return {"mean": jnp.zeros((c,), jnp.float32), "var": jnp.ones((c,), jnp.float32)}
+
+
+def init(key, channels: int = 1, embed_dim: int = EMBED_DIM):
+    """Initialize (params, state) pytrees."""
+    ks = jax.random.split(key, 12)
+    params = {
+        "down1": {
+            "conv1": _conv(ks[0], 3, 3, channels + embed_dim, 64),
+            "bn1": _bn(64),
+            "conv2": _conv(ks[1], 3, 3, 64, 64),
+            "bn2": _bn(64),
+        },
+        "down2": {
+            "conv1": _conv(ks[2], 3, 3, 64, 128),
+            "bn1": _bn(128),
+            "conv2": _conv(ks[3], 3, 3, 128, 128),
+            "bn2": _bn(128),
+        },
+        "mid": {
+            "conv1": _conv(ks[4], 3, 3, 128, 128),
+            "bn1": _bn(128),
+            "conv2": _conv(ks[5], 3, 3, 128, 128),
+            "bn2": _bn(128),
+        },
+        "up2": {
+            "convt": _conv(ks[6], 2, 2, 128, 64),
+            "conv1": _conv(ks[7], 3, 3, 64, 64),
+            "bn1": _bn(64),
+            "conv2": _conv(ks[8], 3, 3, 64, 64),
+            "bn2": _bn(64),
+        },
+        "up1": {
+            "conv1": _conv(ks[9], 3, 3, 128, 64),
+            "bn1": _bn(64),
+            "conv2": _conv(ks[10], 3, 3, 64, 64),
+            "bn2": _bn(64),
+        },
+        "final": _conv(ks[11], 1, 1, 64, 1),
+    }
+    state = {
+        "down1": {"bn1": _bn_state(64), "bn2": _bn_state(64)},
+        "down2": {"bn1": _bn_state(128), "bn2": _bn_state(128)},
+        "mid": {"bn1": _bn_state(128), "bn2": _bn_state(128)},
+        "up2": {"bn1": _bn_state(64), "bn2": _bn_state(64)},
+        "up1": {"bn1": _bn_state(64), "bn2": _bn_state(64)},
+    }
+    return params, state
+
+
+def _conv_bn_relu(p, s, name_conv, name_bn, x, *, train, axis_name):
+    h = conv2d(x, p[name_conv]["w"], p[name_conv]["b"])
+    h, m, v = batch_norm(
+        h,
+        p[name_bn]["scale"],
+        p[name_bn]["bias"],
+        s[name_bn]["mean"],
+        s[name_bn]["var"],
+        train=train,
+        axis_name=axis_name,
+    )
+    return jax.nn.relu(h), {name_bn: {"mean": m, "var": v}}
+
+
+def _block(p, s, x, names, *, train, axis_name):
+    new_s = {}
+    for conv_name, bn_name in names:
+        x, upd = _conv_bn_relu(p, s, conv_name, bn_name, x, train=train, axis_name=axis_name)
+        new_s.update(upd)
+    return x, new_s
+
+
+def apply(params, state, x, t_emb, *, train: bool = False, axis_name: str | None = None):
+    """Forward pass.
+
+    Args:
+      x: (B, H, W, C) noisy images.
+      t_emb: (B, D) timestep embeddings.
+      train: batch-stats mode for BatchNorm (updates running stats).
+      axis_name: data-parallel mesh axis for cross-replica BN stats.
+
+    Returns (eps_hat (B,H,W,1), new_state).
+    """
+    b, h, w, _ = x.shape
+    tmap = jnp.broadcast_to(t_emb[:, None, None, :], (b, h, w, t_emb.shape[-1]))
+    xin = jnp.concatenate([x, tmap], axis=-1)
+
+    kw = dict(train=train, axis_name=axis_name)
+    names2 = [("conv1", "bn1"), ("conv2", "bn2")]
+
+    h1, s_d1 = _block(params["down1"], state["down1"], xin, names2, **kw)
+    h2, s_d2 = _block(params["down2"], state["down2"], max_pool_2x2(h1), names2, **kw)
+    h3, s_mid = _block(params["mid"], state["mid"], h2, names2, **kw)
+
+    up = conv_transpose2d(h3, params["up2"]["convt"]["w"], params["up2"]["convt"]["b"], stride=2)
+    up, s_u2 = _block(params["up2"], state["up2"], up, names2, **kw)
+
+    # crop skip to the upsampled size (identity for even H, W) and concat
+    hh, ww = up.shape[1], up.shape[2]
+    cat = jnp.concatenate([up, h1[:, :hh, :ww, :]], axis=-1)
+
+    out, s_u1 = _block(params["up1"], state["up1"], cat, names2, **kw)
+    eps = conv2d(out, params["final"]["w"], params["final"]["b"])
+
+    new_state = {"down1": s_d1, "down2": s_d2, "mid": s_mid, "up2": s_u2, "up1": s_u1}
+    return eps, new_state
+
+
+@partial(jax.jit, static_argnames=("train",))
+def apply_jit(params, state, x, t_emb, train: bool = False):
+    return apply(params, state, x, t_emb, train=train)
+
+
+def num_params(params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,3 @@
+from igdm_tpu.sampling.ancestral import sample_ddpm, sample_ddim, sample_karras
+
+__all__ = ["sample_ddpm", "sample_ddim", "sample_karras"]

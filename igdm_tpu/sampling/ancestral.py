@@ -1,0 +1,241 @@
+"""Reverse-process samplers, each one compiled ``lax.scan`` on device.
+
+The reference samples with a host-side Julia loop making T separate model
+calls (src/generate_images.jl:236-239) — the #1 structural change for TPU:
+here the entire trajectory runs inside a single jitted scan, with the RNG
+threaded as a key and timestep embeddings computed from the scanned t. One
+host<->device transfer per batch of images, total.
+
+Timestep convention matches the reference everywhere: t runs over Julia's
+1-based {1..T}; alpha_bar lookups use t-1 into the 0-based table; the
+embedding sees the raw t value (src/generate_images.jl:174-214).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from igdm_tpu.config import DiffusionConfig, KarrasConfig
+from igdm_tpu.diffusion.processes import ddim_step, karras_reverse_step, reverse_diffusion_step
+from igdm_tpu.diffusion.schedules import (
+    alphas_cumprod,
+    karras_sigma_schedule,
+    linear_beta_schedule,
+)
+from igdm_tpu.models import unet_small, unet4
+from igdm_tpu.models.embeddings import timestep_embedding
+
+
+def _alpha_bar(cfg: DiffusionConfig) -> jnp.ndarray:
+    return jnp.asarray(
+        alphas_cumprod(linear_beta_schedule(cfg.num_steps, cfg.beta_min, cfg.beta_max)),
+        jnp.float32,
+    )
+
+
+@partial(jax.jit, static_argnames=("num_images", "image_size", "num_steps", "embed_dim"))
+def _sample_ddpm_impl(
+    params,
+    model_state,
+    key,
+    alpha_bar,
+    noises,
+    *,
+    num_images: int,
+    image_size: tuple,
+    num_steps: int,
+    embed_dim: int,
+):
+    h, w = image_size
+    k_init, k_loop = jax.random.split(key)
+    x = jax.random.normal(k_init, (num_images, h, w, 1), jnp.float32)
+    t_vals = jnp.arange(num_steps, 1, -1)  # T, T-1, ..., 2
+
+    def body(x, inputs):
+        t, i = inputs
+        t_emb = timestep_embedding(jnp.full((num_images,), t, jnp.float32), embed_dim)
+        eps_pred, _ = unet_small.apply(params, model_state, x, t_emb, train=False)
+        if noises is None:
+            noise = jax.random.normal(jax.random.fold_in(k_loop, i), x.shape, jnp.float32)
+        else:
+            noise = noises[i]
+        # Reference adds noise at every step of its t=T..2 loop (the t==1
+        # branch at src/generate_images.jl:205-211 is unreachable).
+        x = reverse_diffusion_step(
+            x, eps_pred, noise, alpha_bar[t - 1], alpha_bar[t - 2], use_noise=True
+        )
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, (t_vals, jnp.arange(t_vals.shape[0])))
+    return jnp.clip(x, -1.0, 1.0)
+
+
+def sample_ddpm(
+    params,
+    model_state,
+    key,
+    *,
+    num_images: int = 1,
+    image_size: tuple = (32, 32),
+    cfg: DiffusionConfig | None = None,
+    x_init=None,
+    noises=None,
+):
+    """Ancestral sampling with the reference's exact update rule.
+
+    Args:
+      key: PRNG key (initial noise + per-step noise derive from it).
+      x_init: optional explicit starting noise (B,H,W,1) — for parity tests.
+      noises: optional (T-1,B,H,W,1) explicit per-step noises — parity tests.
+
+    Returns (B, H, W, 1) images clipped to [-1, 1].
+    """
+    cfg = cfg or DiffusionConfig()
+    alpha_bar = _alpha_bar(cfg)
+    if x_init is not None or noises is not None:
+        return _sample_ddpm_explicit(
+            params, model_state, key, alpha_bar, x_init, noises,
+            num_images=num_images, image_size=tuple(image_size),
+            num_steps=cfg.num_steps, embed_dim=cfg.embed_dim,
+        )
+    return _sample_ddpm_impl(
+        params, model_state, key, alpha_bar, None,
+        num_images=num_images, image_size=tuple(image_size),
+        num_steps=cfg.num_steps, embed_dim=cfg.embed_dim,
+    )
+
+
+@partial(jax.jit, static_argnames=("num_images", "image_size", "num_steps", "embed_dim"))
+def _sample_ddpm_explicit(
+    params, model_state, key, alpha_bar, x_init, noises,
+    *, num_images, image_size, num_steps, embed_dim,
+):
+    h, w = image_size
+    if x_init is None:
+        x_init = jax.random.normal(key, (num_images, h, w, 1), jnp.float32)
+    x = jnp.asarray(x_init, jnp.float32)
+    t_vals = jnp.arange(num_steps, 1, -1)
+
+    def body(x, inputs):
+        t, noise = inputs
+        t_emb = timestep_embedding(jnp.full((num_images,), t, jnp.float32), embed_dim)
+        eps_pred, _ = unet_small.apply(params, model_state, x, t_emb, train=False)
+        x = reverse_diffusion_step(
+            x, eps_pred, noise, alpha_bar[t - 1], alpha_bar[t - 2], use_noise=True
+        )
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, (t_vals, jnp.asarray(noises, jnp.float32)))
+    return jnp.clip(x, -1.0, 1.0)
+
+
+def sample_ddim(
+    params,
+    model_state,
+    key,
+    *,
+    num_images: int = 1,
+    image_size: tuple = (32, 32),
+    cfg: DiffusionConfig | None = None,
+    num_sample_steps: int = 50,
+    eta: float = 0.0,
+):
+    """Fast DDIM sampling over a strided timestep subset — the accelerated
+    sampler the reference lacks (BASELINE.json stretch config)."""
+    cfg = cfg or DiffusionConfig()
+    alpha_bar = _alpha_bar(cfg)
+    # strided 1-based timesteps T ... 1, length num_sample_steps
+    ts = np.unique(np.linspace(1, cfg.num_steps, num_sample_steps).round().astype(np.int32))[::-1]
+    ts_prev = np.concatenate([ts[1:], [0]])  # 0 => alpha_bar_prev = 1
+    return _sample_ddim_impl(
+        params, model_state, key, alpha_bar,
+        jnp.asarray(ts.copy()), jnp.asarray(ts_prev.copy()),
+        num_images=num_images, image_size=tuple(image_size),
+        embed_dim=cfg.embed_dim, eta=eta,
+    )
+
+
+@partial(jax.jit, static_argnames=("num_images", "image_size", "embed_dim", "eta"))
+def _sample_ddim_impl(
+    params, model_state, key, alpha_bar, ts, ts_prev,
+    *, num_images, image_size, embed_dim, eta,
+):
+    h, w = image_size
+    k_init, k_loop = jax.random.split(key)
+    x = jax.random.normal(k_init, (num_images, h, w, 1), jnp.float32)
+    ab_ext = jnp.concatenate([jnp.ones((1,), jnp.float32), alpha_bar])  # ab_ext[t] for t in 0..T
+
+    def body(x, inputs):
+        t, t_prev, i = inputs
+        t_emb = timestep_embedding(jnp.full((num_images,), t, jnp.float32), embed_dim)
+        eps_pred, _ = unet_small.apply(params, model_state, x, t_emb, train=False)
+        noise = (
+            jax.random.normal(jax.random.fold_in(k_loop, i), x.shape, jnp.float32)
+            if eta > 0
+            else None
+        )
+        x = ddim_step(x, eps_pred, ab_ext[t], ab_ext[t_prev], eta=eta, noise=noise)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, (ts, ts_prev, jnp.arange(ts.shape[0])))
+    return jnp.clip(x, -1.0, 1.0)
+
+
+def sample_karras(
+    params,
+    key,
+    *,
+    num_images: int = 16,
+    image_size: tuple = (32, 32),
+    cfg: KarrasConfig | None = None,
+    mu: float = 0.0,
+    sigma: float = 1.0,
+    final_sigmoid: bool = True,
+):
+    """Karras-schedule sampler for the 4-level U-Net.
+
+    Reference: last_desperate_attempt/src/sample.jl:120-165 — t runs
+    steps..1, fresh z for t>1, x <- (x - sig_t*eps)/sqrt(1-sig_t^2) + sig_t*z,
+    then denormalize x*sigma + mu.
+    """
+    cfg = cfg or KarrasConfig()
+    sigmas = jnp.asarray(
+        karras_sigma_schedule(cfg.sigma_min, cfg.sigma_max, cfg.rho, cfg.num_steps),
+        jnp.float32,
+    )
+    return _sample_karras_impl(
+        params, key, sigmas,
+        num_images=num_images, image_size=tuple(image_size),
+        num_steps=cfg.num_steps, mu=float(mu), sigma=float(sigma),
+        final_sigmoid=final_sigmoid,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_images", "image_size", "num_steps", "mu", "sigma", "final_sigmoid"),
+)
+def _sample_karras_impl(
+    params, key, sigmas, *, num_images, image_size, num_steps, mu, sigma, final_sigmoid
+):
+    h, w = image_size
+    k_init, k_loop = jax.random.split(key)
+    x = jax.random.normal(k_init, (num_images, h, w, 1), jnp.float32)
+    t_vals = jnp.arange(num_steps, 0, -1)  # steps .. 1
+
+    def body(x, inputs):
+        t, i = inputs
+        z = jax.random.normal(jax.random.fold_in(k_loop, i), x.shape, jnp.float32)
+        z = jnp.where(t > 1, z, jnp.zeros_like(z))
+        eps_pred = unet4.apply(
+            params, x, jnp.full((num_images,), t), final_sigmoid=final_sigmoid
+        )
+        x = karras_reverse_step(x, eps_pred, z, sigmas[t - 1])
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, (t_vals, jnp.arange(num_steps)))
+    return x * sigma + mu

@@ -1,0 +1,214 @@
+"""DDPM training — jitted, scanned, data-parallel.
+
+TPU-first redesign of the reference training loop (src/train_brain.jl:246-304):
+
+* The whole dataset (1.7 MB) lives on device; an **entire epoch** is one
+  compiled ``lax.scan`` over minibatches — per-epoch permutation, q-sampling,
+  U-Net fwd/bwd, and optax update all fuse into a single XLA program. The host
+  only sees one scalar (epoch loss) per epoch.
+* Under a ``data`` mesh the batch axis is sharded and params replicated; the
+  global means in the loss and BatchNorm statistics compile to ICI
+  all-reduces automatically (jit + NamedSharding — no hand-written pmean).
+* Early stopping (patience / min_delta) matches src/train_brain.jl:282-292;
+  checkpoints every ``checkpoint_every`` epochs plus a final one, each with
+  full optimizer state + RNG so resume is real (reference drops the Adam
+  moments, SURVEY.md section 5.4).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from igdm_tpu.config import DiffusionConfig, TrainConfig
+from igdm_tpu.diffusion.schedules import alphas_cumprod, linear_beta_schedule
+from igdm_tpu.models import unet_small
+from igdm_tpu.models.embeddings import timestep_embedding
+from igdm_tpu.training.train_state import TrainState
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    if cfg.optimizer == "adamw":
+        return optax.adamw(cfg.lr, b1=0.9, b2=0.999, weight_decay=cfg.weight_decay)
+    return optax.adam(cfg.lr)
+
+
+def init_train_state(key, diff_cfg: DiffusionConfig, train_cfg: TrainConfig, channels: int = 1):
+    kp, kr = jax.random.split(key)
+    params, model_state = unet_small.init(kp, channels, diff_cfg.embed_dim)
+    tx = make_optimizer(train_cfg)
+    return (
+        TrainState(
+            params=params,
+            model_state=model_state,
+            opt_state=tx.init(params),
+            step=jnp.asarray(0, jnp.int32),
+            rng=kr,
+        ),
+        tx,
+    )
+
+
+def ddpm_loss(params, model_state, x0, ts, eps, mask, alpha_bar, embed_dim):
+    """Masked-mean epsilon-prediction MSE (src/train_brain.jl:225-241).
+
+    ``ts`` uses the reference's 1-based convention {1..T}: alpha_bar is
+    indexed at ts-1 and the embedding sees the raw ts value — matching what
+    the reference model saw during training (src/train_brain.jl:227-236).
+    """
+    ab = alpha_bar[ts - 1].reshape(-1, 1, 1, 1)
+    x_t = jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * eps
+    t_emb = timestep_embedding(ts.astype(jnp.float32), embed_dim)
+    eps_pred, new_state = unet_small.apply(params, model_state, x_t, t_emb, train=True)
+    per_ex = jnp.mean(jnp.square(eps_pred - eps), axis=(1, 2, 3))
+    loss = jnp.sum(per_ex * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return loss, new_state
+
+
+def build_epoch_fn(
+    tx: optax.GradientTransformation,
+    diff_cfg: DiffusionConfig,
+    batch_size: int,
+    n_images: int,
+) -> Callable:
+    """Compile one full epoch: permutation + scan over batches, all on device."""
+    alpha_bar = jnp.asarray(
+        alphas_cumprod(linear_beta_schedule(diff_cfg.num_steps, diff_cfg.beta_min, diff_cfg.beta_max)),
+        jnp.float32,
+    )
+    n_batches = -(-n_images // batch_size)
+    T = diff_cfg.num_steps
+    D = diff_cfg.embed_dim
+
+    grad_fn = jax.value_and_grad(ddpm_loss, has_aux=True)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(state: TrainState, imgs: jax.Array) -> tuple[TrainState, jax.Array]:
+        key = jax.random.fold_in(state.rng, state.step)
+        perm = jax.random.permutation(key, n_images)
+
+        def body(carry, b):
+            st = carry
+            kb = jax.random.fold_in(key, b + 1)
+            k_t, k_eps = jax.random.split(kb)
+            start = b * batch_size
+            pos = start + jnp.arange(batch_size)
+            idx = perm[pos % n_images]
+            mask = (pos < n_images).astype(jnp.float32)
+            x0 = jnp.take(imgs, idx, axis=0)
+            ts = jax.random.randint(k_t, (batch_size,), 1, T + 1)  # 1-based {1..T}
+            eps = jax.random.normal(k_eps, x0.shape, jnp.float32)
+            (loss, new_mstate), grads = grad_fn(
+                st.params, st.model_state, x0, ts, eps, mask, alpha_bar, D
+            )
+            updates, new_opt = tx.update(grads, st.opt_state, st.params)
+            new_params = optax.apply_updates(st.params, updates)
+            new_st = st.replace(
+                params=new_params,
+                model_state=new_mstate,
+                opt_state=new_opt,
+                step=st.step + 1,
+            )
+            return new_st, loss
+
+        state, losses = jax.lax.scan(body, state, jnp.arange(n_batches))
+        return state, jnp.mean(losses)
+
+    return epoch_fn
+
+
+@dataclass
+class TrainResult:
+    state: TrainState
+    losses: list = field(default_factory=list)
+    epochs_run: int = 0
+    stopped_early: bool = False
+    wall_seconds: float = 0.0
+    checkpoints: list = field(default_factory=list)
+
+
+def train_ddpm(
+    imgs: np.ndarray,
+    diff_cfg: DiffusionConfig | None = None,
+    train_cfg: TrainConfig | None = None,
+    *,
+    mesh=None,
+    out_dir: str = ".",
+    checkpoint_prefix: str = "ddpm_epoch",
+    save_final: str | None = "trained_model",
+    log: Callable[[str], None] | None = print,
+) -> TrainResult:
+    """Full training loop with early stopping and periodic checkpoints.
+
+    Args:
+      imgs: (N, H, W, C) float32 images already scaled to [-1, 1].
+      mesh: optional jax Mesh; batch is sharded over its 'data' axis.
+    """
+    from igdm_tpu.checkpoint.pytree_io import save_checkpoint
+
+    diff_cfg = diff_cfg or DiffusionConfig()
+    train_cfg = train_cfg or TrainConfig()
+    n = imgs.shape[0]
+
+    key = jax.random.PRNGKey(train_cfg.seed)
+    state, tx = init_train_state(key, diff_cfg, train_cfg, channels=imgs.shape[-1])
+    epoch_fn = build_epoch_fn(tx, diff_cfg, train_cfg.batch_size, n)
+
+    imgs_dev = jnp.asarray(imgs, jnp.float32)
+    if mesh is not None:
+        from igdm_tpu.parallel.sharding import replicate_tree, shard_batch
+
+        imgs_dev = shard_batch(mesh, imgs_dev)
+        state = state.replace(
+            params=replicate_tree(mesh, state.params),
+            model_state=replicate_tree(mesh, state.model_state),
+            opt_state=replicate_tree(mesh, state.opt_state),
+        )
+
+    result = TrainResult(state=state)
+    best = float("inf")
+    no_improve = 0
+    t0 = time.time()
+
+    for epoch in range(1, train_cfg.epochs + 1):
+        state, loss = epoch_fn(state, imgs_dev)
+        loss = float(loss)
+        result.losses.append(loss)
+        result.epochs_run = epoch
+        if log:
+            log(f"Epoch {epoch} | avg loss = {loss:.6f}")
+
+        if loss < best - train_cfg.min_delta:
+            best = loss
+            no_improve = 0
+        else:
+            no_improve += 1
+        if no_improve > train_cfg.patience:
+            if log:
+                log(f"Early stopping: no improvement for {train_cfg.patience + 1} epochs")
+            result.stopped_early = True
+            result.state = state
+            break
+
+        if train_cfg.checkpoint_every and epoch % train_cfg.checkpoint_every == 0:
+            path = os.path.join(out_dir, f"{checkpoint_prefix}_{epoch}.npz")
+            save_checkpoint(path, state, diff_cfg=diff_cfg, train_cfg=train_cfg, epoch=epoch)
+            result.checkpoints.append(path)
+        result.state = state
+
+    result.wall_seconds = time.time() - t0
+    if save_final:
+        path = os.path.join(out_dir, f"{save_final}.npz")
+        save_checkpoint(
+            path, result.state, diff_cfg=diff_cfg, train_cfg=train_cfg, epoch=result.epochs_run
+        )
+        result.checkpoints.append(path)
+    return result

