@@ -1,0 +1,72 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from igdm_tpu.parallel.mesh import make_mesh
+from igdm_tpu.parallel.sharding import data_sharding, replicate_tree, shard_batch
+
+
+def test_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_1d():
+    mesh = make_mesh(8)
+    assert mesh.shape == {"data": 8}
+
+
+def test_make_mesh_2d():
+    mesh = make_mesh(8, model_parallel=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_shard_batch_places_shards():
+    mesh = make_mesh(8)
+    x = jnp.arange(16 * 4, dtype=jnp.float32).reshape(16, 4)
+    xs = shard_batch(mesh, x)
+    assert xs.sharding == data_sharding(mesh)
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (8, 32, 32, 1)
+
+
+def test_data_parallel_epoch_matches_single_device():
+    """The sharded epoch must compute the same result as unsharded (same
+    program, XLA inserts collectives)."""
+    from igdm_tpu.config import DiffusionConfig, TrainConfig
+    from igdm_tpu.training.ddpm import build_epoch_fn, init_train_state
+
+    diff = DiffusionConfig(num_steps=5)
+    tr = TrainConfig(batch_size=8)
+    imgs = jax.random.normal(jax.random.PRNGKey(3), (32, 32, 32, 1), jnp.float32)
+
+    def run(mesh):
+        state, tx = init_train_state(jax.random.PRNGKey(0), diff, tr)
+        epoch_fn = build_epoch_fn(tx, diff, tr.batch_size, 32)
+        x = imgs
+        if mesh is not None:
+            x = shard_batch(mesh, x)
+            state = state.replace(params=replicate_tree(mesh, state.params))
+        state, loss = epoch_fn(state, x)
+        return float(loss)
+
+    loss_single = run(None)
+    loss_sharded = run(make_mesh(8))
+    assert np.isfinite(loss_single) and np.isfinite(loss_sharded)
+    # same math, different reduction orders: expect near-identical losses
+    assert abs(loss_single - loss_sharded) < 1e-4
