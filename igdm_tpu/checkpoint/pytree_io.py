@@ -63,6 +63,30 @@ def save_checkpoint(path: str, state: TrainState, *, epoch: int | None = None, *
     return path
 
 
+def _nest(flat: dict[str, np.ndarray]) -> dict:
+    """'a/b/c' keys -> nested dicts (inverse of _flatten_with_paths for plain
+    dict pytrees — which is what all igdm_tpu model params are)."""
+    out: dict = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = val
+    return out
+
+
+def load_for_sampling(path: str) -> tuple[dict, dict, dict]:
+    """Load just (params, model_state, meta) from a checkpoint — no template
+    needed; nested dicts are rebuilt from the flat '/'-joined keys."""
+    flat, meta = load_checkpoint(path)
+    params = _nest({k[len("params/") :]: v for k, v in flat.items() if k.startswith("params/")})
+    mstate = _nest(
+        {k[len("model_state/") :]: v for k, v in flat.items() if k.startswith("model_state/")}
+    )
+    return params, mstate, meta
+
+
 def load_checkpoint(path: str, template: TrainState | None = None) -> tuple[dict | TrainState, dict]:
     """Load a checkpoint.
 

@@ -1,0 +1,120 @@
+"""CLI: train a model.
+
+Replaces the reference's executable scripts (src/train_brain.jl, run-on-include
+at :307; last_desperate_attempt/src/train_net.jl:240) with a proper argparse
+entry point:
+
+    python -m igdm_tpu.cli.train --model ddpm --epochs 100 --timesteps 500
+    python -m igdm_tpu.cli.train --model unet4 --epochs 100   # modern recipe
+    python -m igdm_tpu.cli.train --model mlp --epochs 100     # one-shot MLP
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="igdm-train", description=__doc__)
+    p.add_argument("--model", choices=["ddpm", "unet4", "mlp"], default="ddpm")
+    p.add_argument("--data", default=None, help=".mat dataset path (default: bundled)")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--timesteps", type=int, default=None, help="diffusion T")
+    p.add_argument("--patience", type=int, default=None)
+    p.add_argument("--min-delta", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out-dir", default=".")
+    p.add_argument("--checkpoint-every", type=int, default=None)
+    p.add_argument("--loss-curve", default="training_loss.png")
+    p.add_argument("--metrics", default=None, help="JSONL metrics path")
+    p.add_argument("--n-devices", type=int, default=None, help="data-parallel mesh size")
+    p.add_argument("--base-ch", type=int, default=None, help="unet4 base width (default 80)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    from igdm_tpu.data.images import save_loss_curve
+    from igdm_tpu.data.mat import load_synthetic_images, normalize_pm1
+    from igdm_tpu.utils.metrics import MetricsLogger
+
+    imgs = load_synthetic_images(args.data)
+    metrics = MetricsLogger(args.metrics, echo=False)
+
+    if args.model == "mlp":
+        from igdm_tpu.training.mlp_trainer import train_mlp
+
+        params, losses = train_mlp(
+            imgs,
+            lr=args.lr or 1e-3,
+            epochs=args.epochs,
+            patience=args.patience,
+            min_delta=args.min_delta,
+            seed=args.seed,
+            log=print,
+        )
+        for i, l in enumerate(losses):
+            metrics.log(i + 1, loss=l)
+        import numpy as np
+
+        np.savez(
+            os.path.join(args.out_dir, "mlp_model.npz"),
+            **{f"params/{k}/{kk}": v for k, d in params.items() for kk, v in d.items()},
+        )
+    elif args.model == "unet4":
+        from igdm_tpu.training.modern import ModernTrainConfig, train_modern
+
+        cfg = ModernTrainConfig(
+            epochs=args.epochs,
+            batch_size=args.batch_size or 32,
+            lr_start=args.lr or 3e-3,
+            num_steps=args.timesteps or 150,
+            patience=args.patience if args.patience is not None else 9,
+            checkpoint_every=args.checkpoint_every or 10,
+            seed=args.seed,
+            base_ch=args.base_ch or 80,
+        )
+        res = train_modern(imgs, cfg, out_dir=args.out_dir, log=print)
+        for i, (l, lr) in enumerate(zip(res.losses, res.lrs)):
+            metrics.log(i + 1, loss=l, lr=lr)
+        losses = res.losses
+    else:
+        from igdm_tpu.config import DiffusionConfig, TrainConfig
+        from igdm_tpu.training.ddpm import train_ddpm
+
+        mesh = None
+        if args.n_devices:
+            from igdm_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(args.n_devices)
+        diff_cfg = DiffusionConfig(num_steps=args.timesteps or 500)
+        train_cfg = TrainConfig(
+            batch_size=args.batch_size or 64,
+            epochs=args.epochs,
+            lr=args.lr or 2e-4,
+            patience=args.patience if args.patience is not None else 10,
+            min_delta=args.min_delta,
+            checkpoint_every=args.checkpoint_every or 5,
+            seed=args.seed,
+        )
+        res = train_ddpm(
+            normalize_pm1(imgs), diff_cfg, train_cfg, mesh=mesh, out_dir=args.out_dir, log=print
+        )
+        for i, l in enumerate(res.losses):
+            metrics.log(i + 1, loss=l)
+        losses = res.losses
+
+    save_loss_curve(losses, os.path.join(args.out_dir, args.loss_curve))
+    print(json.dumps({"epochs": len(losses), "final_loss": losses[-1] if losses else None}))
+    metrics.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -84,12 +84,16 @@ def init(key, in_channels: int = 1, base_ch: int = 64, time_dim: int = TIME_DIM)
     }
 
 
-def _apply_block(p, x, *, groups=8):
+def _apply_block(p, x, *, groups=8, use_pallas=None):
+    from igdm_tpu.ops.pallas.fused_groupnorm_silu import groupnorm_silu
+
     h = conv2d(x, p["conv1"]["w"], p["conv1"]["b"])
-    h = silu(group_norm(h, p["gn1"]["scale"], p["gn1"]["bias"], groups=groups))
+    h = groupnorm_silu(h, p["gn1"]["scale"], p["gn1"]["bias"], groups=groups, use_pallas=use_pallas)
     if "conv2" in p:
         h = conv2d(h, p["conv2"]["w"], p["conv2"]["b"])
-        h = silu(group_norm(h, p["gn2"]["scale"], p["gn2"]["bias"], groups=groups))
+        h = groupnorm_silu(
+            h, p["gn2"]["scale"], p["gn2"]["bias"], groups=groups, use_pallas=use_pallas
+        )
     return h
 
 
@@ -101,8 +105,20 @@ def _add_time(p_level, h, tfeat):
     return h + bias[:, None, None, :]
 
 
-def apply(params, x, ts, *, groups: int = 8, final_sigmoid: bool = True, time_dim: int = TIME_DIM):
-    """Forward pass: x (B,H,W,C), ts (B,) integer timesteps -> (B,H,W,1)."""
+def apply(
+    params,
+    x,
+    ts,
+    *,
+    groups: int = 8,
+    final_sigmoid: bool = True,
+    time_dim: int = TIME_DIM,
+    use_pallas: bool | None = None,
+):
+    """Forward pass: x (B,H,W,C), ts (B,) integer timesteps -> (B,H,W,1).
+
+    ``use_pallas``: route GroupNorm+SiLU through the fused Pallas kernel
+    (default: auto — on for TPU backends)."""
     raw = timestep_embedding(ts, time_dim)  # (B, time_dim)
     t1 = params["time_mlp"]["dense1"]
     t2 = params["time_mlp"]["dense2"]
@@ -112,18 +128,18 @@ def apply(params, x, ts, *, groups: int = 8, final_sigmoid: bool = True, time_di
     skips = []
     h = x
     for name in ("down1", "down2", "down3", "down4"):
-        h = _apply_block(params[name]["block"], h, groups=groups)
+        h = _apply_block(params[name]["block"], h, groups=groups, use_pallas=use_pallas)
         h = _add_time(params[name], h, tfeat)
         skips.append(h)
         h = max_pool_2x2(h)
 
-    h = _apply_block(params["mid"]["block"], h, groups=groups)
+    h = _apply_block(params["mid"]["block"], h, groups=groups, use_pallas=use_pallas)
     h = _add_time(params["mid"], h, tfeat)
 
     for name, skip in zip(("up3", "up2", "up1", "up0"), reversed(skips)):
         h = upsample_bilinear_2x(h)
         h = jnp.concatenate([h, skip], axis=-1)
-        h = _apply_block(params[name]["block"], h, groups=groups)
+        h = _apply_block(params[name]["block"], h, groups=groups, use_pallas=use_pallas)
         h = _add_time(params[name], h, tfeat)
 
     out = conv2d(h, params["final"]["w"])

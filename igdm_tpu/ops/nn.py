@@ -33,29 +33,48 @@ def conv2d(x, w, b=None, *, stride: int = 1, padding="SAME"):
 
 
 def conv_transpose2d(x, w, b=None, *, stride: int = 2, padding="VALID"):
-    """2-D transposed convolution (kernel HWIO, I=input channels of x)."""
-    out = lax.conv_transpose(
-        x,
-        w,
-        strides=(stride, stride),
-        padding=padding,
-        dimension_numbers=DIMSPEC,
-    )
+    """2-D transposed convolution (kernel HWIO, I=input channels of x).
+
+    Semantics identical to ``lax.conv_transpose(transpose_kernel=False)``.
+    For the kernel==stride case (the U-Net's ConvT 2x2/stride-2,
+    src/train_brain.jl:130) the windows don't overlap, so the op is a single
+    einsum + pixel-shuffle reshape — one MXU matmul instead of an
+    input-dilated conv (which XLA:CPU executes pathologically slowly, and
+    which the TPU compiler also tiles worse).
+    """
+    kh, kw, cin, cout = w.shape
+    if (kh, kw) == (stride, stride) and padding == "VALID":
+        n, h, wd, _ = x.shape
+        # lax.conv_transpose correlates the dilated input with w, which lands
+        # kernel tap (kh-1-a, kw-1-b) on output offset (a, b): use w reversed.
+        wr = w[::-1, ::-1, :, :]
+        out = jnp.einsum("nhwc,abco->nhawbo", x, wr, preferred_element_type=jnp.float32)
+        out = out.reshape(n, h * stride, wd * stride, cout)
+    else:
+        out = lax.conv_transpose(
+            x,
+            w,
+            strides=(stride, stride),
+            padding=padding,
+            dimension_numbers=DIMSPEC,
+        )
     if b is not None:
         out = out + b.reshape(1, 1, 1, -1)
     return out
 
 
 def max_pool_2x2(x):
-    """2x2/stride-2 max pool (reference: MaxPool((2,2)), src/train_brain.jl:117)."""
-    return lax.reduce_window(
-        x,
-        -jnp.inf,
-        lax.max,
-        window_dimensions=(1, 2, 2, 1),
-        window_strides=(1, 2, 2, 1),
-        padding="VALID",
-    )
+    """2x2/stride-2 max pool (reference: MaxPool((2,2)), src/train_brain.jl:117).
+
+    Implemented as a reshape+max (identical to VALID reduce_window for this
+    window; odd trailing rows/cols are cropped exactly as VALID does) — it
+    fuses better than reduce_window and its gradient is a cheap scatter-free
+    select on both CPU and TPU.
+    """
+    n, h, w, c = x.shape
+    x = x[:, : (h // 2) * 2, : (w // 2) * 2, :]
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return jnp.max(x, axis=(2, 4))
 
 
 def batch_norm(

@@ -1,3 +1,8 @@
-from igdm_tpu.sampling.ancestral import sample_ddpm, sample_ddim, sample_karras
+from igdm_tpu.sampling.ancestral import (
+    sample_ddpm,
+    sample_ddim,
+    sample_karras,
+    sample_with_sigmas,
+)
 
-__all__ = ["sample_ddpm", "sample_ddim", "sample_karras"]
+__all__ = ["sample_ddpm", "sample_ddim", "sample_karras", "sample_with_sigmas"]

@@ -215,6 +215,29 @@ def sample_karras(
     )
 
 
+def sample_with_sigmas(
+    params,
+    key,
+    sigmas,
+    *,
+    num_images: int = 16,
+    image_size: tuple = (32, 32),
+    mu: float = 0.0,
+    sigma: float = 1.0,
+    final_sigmoid: bool = True,
+):
+    """Sigma-schedule sampler for the 4-level U-Net with an arbitrary sigma
+    array — used to sample with the *training* schedule (fixing the
+    reference's train/sample schedule mismatch, SURVEY.md section 5.6)."""
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+    return _sample_karras_impl(
+        params, key, sigmas,
+        num_images=num_images, image_size=tuple(image_size),
+        num_steps=int(sigmas.shape[0]), mu=float(mu), sigma=float(sigma),
+        final_sigmoid=final_sigmoid,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("num_images", "image_size", "num_steps", "mu", "sigma", "final_sigmoid"),

@@ -1,0 +1,166 @@
+"""Training-loop tests: DDPM trainer, modern recipe, resume, CLI."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from igdm_tpu.config import DiffusionConfig, TrainConfig
+
+
+@pytest.fixture(scope="module")
+def small_imgs():
+    rng = np.random.default_rng(0)
+    return rng.standard_normal((48, 32, 32, 1)).astype(np.float32) * 0.5
+
+
+def test_train_ddpm_loss_decreases_and_checkpoints(small_imgs, tmp_path):
+    from igdm_tpu.training.ddpm import train_ddpm
+
+    res = train_ddpm(
+        small_imgs,
+        DiffusionConfig(num_steps=5),
+        TrainConfig(batch_size=16, epochs=6, checkpoint_every=5, patience=50),
+        out_dir=str(tmp_path),
+        log=None,
+    )
+    assert res.epochs_run == 6
+    assert res.losses[-1] < res.losses[0]
+    assert os.path.isfile(tmp_path / "ddpm_epoch_5.npz")
+    assert os.path.isfile(tmp_path / "trained_model.npz")
+
+
+def test_train_ddpm_early_stopping(small_imgs, tmp_path):
+    from igdm_tpu.training.ddpm import train_ddpm
+
+    # an impossible min_delta forces the patience counter to fire
+    res = train_ddpm(
+        small_imgs,
+        DiffusionConfig(num_steps=5),
+        TrainConfig(batch_size=16, epochs=50, patience=2, min_delta=1e9, checkpoint_every=0),
+        out_dir=str(tmp_path),
+        save_final=None,
+        log=None,
+    )
+    assert res.stopped_early
+    assert res.epochs_run == 4  # patience=2 exceeded after 3 non-improving epochs
+
+
+def test_checkpoint_resume_roundtrip(small_imgs, tmp_path):
+    """Full state (params+opt+rng+step) must round-trip bit-exact."""
+    from igdm_tpu.checkpoint.pytree_io import load_checkpoint, save_checkpoint
+    from igdm_tpu.training.ddpm import init_train_state, train_ddpm
+
+    diff, tr = DiffusionConfig(num_steps=5), TrainConfig(batch_size=16, epochs=2, patience=50)
+    res = train_ddpm(small_imgs, diff, tr, out_dir=str(tmp_path), log=None)
+    path = tmp_path / "trained_model.npz"
+    template, _ = init_train_state(jax.random.PRNGKey(0), diff, tr)
+    loaded, meta = load_checkpoint(str(path), template)
+    assert meta["model"] == "unet_small"
+    assert meta["train_cfg"]["batch_size"] == 16
+    for a, b in zip(
+        jax.tree_util.tree_leaves(loaded.params), jax.tree_util.tree_leaves(res.state.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(loaded.opt_state),
+        jax.tree_util.tree_leaves(res.state.opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(loaded.step) == int(res.state.step)
+
+
+def test_load_for_sampling_generic(small_imgs, tmp_path):
+    from igdm_tpu.checkpoint.pytree_io import load_for_sampling
+    from igdm_tpu.training.ddpm import train_ddpm
+
+    train_ddpm(
+        small_imgs,
+        DiffusionConfig(num_steps=5),
+        TrainConfig(batch_size=16, epochs=1, patience=50),
+        out_dir=str(tmp_path),
+        log=None,
+    )
+    params, state, meta = load_for_sampling(str(tmp_path / "trained_model.npz"))
+    assert "down1" in params and "conv1" in params["down1"]
+    assert "bn1" in state["down1"]
+    assert meta["model"] == "unet_small"
+
+
+def test_train_modern_smoke(tmp_path):
+    from igdm_tpu.training.modern import ModernTrainConfig, train_modern
+
+    rng = np.random.default_rng(1)
+    imgs = rng.standard_normal((16, 32, 32, 1)).astype(np.float32)
+    cfg = ModernTrainConfig(
+        num_steps=5, batch_size=8, epochs=3, base_ch=8, warmup_epochs=1, checkpoint_every=0,
+        patience=50,
+    )
+    res = train_modern(imgs, cfg, out_dir=str(tmp_path), log=None)
+    assert res.epochs_run == 3
+    assert all(np.isfinite(l) for l in res.losses)
+    assert os.path.isfile(tmp_path / "final_model.npz")
+    # z-score norm constants travel with the checkpoint
+    from igdm_tpu.checkpoint.pytree_io import load_for_sampling
+
+    _, _, meta = load_for_sampling(str(tmp_path / "final_model.npz"))
+    assert meta["model"] == "unet4"
+    assert "mu" in meta["norm"] and "sigma" in meta["norm"]
+
+
+def test_warmup_cosine_matches_reference_shape():
+    from igdm_tpu.training.lr_schedules import warmup_cosine_lr
+
+    kw = dict(lr_start=3e-3, lr_min=1e-6, warmup_epochs=9, total_epochs=100)
+    # linear warmup
+    assert warmup_cosine_lr(1, **kw) == pytest.approx(3e-3 / 9)
+    assert warmup_cosine_lr(9, **kw) == pytest.approx(3e-3)
+    # plateau through 3*warmup
+    assert warmup_cosine_lr(27, **kw) == pytest.approx(3e-3)
+    # cosine decay after
+    assert warmup_cosine_lr(60, **kw) < 3e-3
+    assert warmup_cosine_lr(100, **kw) == pytest.approx(1e-6, abs=1e-8)
+
+
+def test_cli_train_mlp(tmp_path, monkeypatch):
+    from igdm_tpu.cli.train import main
+
+    monkeypatch.chdir(tmp_path)
+    rc = main(["--model", "mlp", "--epochs", "2", "--out-dir", str(tmp_path)])
+    assert rc == 0
+    assert os.path.isfile(tmp_path / "mlp_model.npz")
+    assert os.path.isfile(tmp_path / "training_loss.png")
+
+
+def test_cli_train_and_sample_ddpm(tmp_path, monkeypatch):
+    from igdm_tpu.cli.sample import main as sample_main
+    from igdm_tpu.cli.train import main as train_main
+
+    monkeypatch.chdir(tmp_path)
+    rc = train_main(
+        [
+            "--model", "ddpm", "--epochs", "1", "--timesteps", "5",
+            "--batch-size", "100", "--out-dir", str(tmp_path), "--checkpoint-every", "0",
+        ]
+    )
+    assert rc == 0
+    ckpt = tmp_path / "trained_model.npz"
+    assert ckpt.is_file()
+    rc = sample_main([str(ckpt), "4", "--out", str(tmp_path / "samples.png")])
+    assert rc == 0
+    assert (tmp_path / "samples.png").is_file()
+
+
+def test_cli_sample_from_reference_bson(tmp_path, monkeypatch):
+    if not os.path.isfile("/root/reference/trained_model.bson"):
+        pytest.skip("reference not available")
+    from igdm_tpu.cli.sample import main as sample_main
+
+    monkeypatch.chdir(tmp_path)
+    rc = sample_main(
+        ["/root/reference/trained_model.bson", "2", "--out", str(tmp_path / "s.png")]
+    )
+    assert rc == 0
+    assert (tmp_path / "s.png").is_file()
