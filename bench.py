@@ -78,12 +78,14 @@ def bench_train_step(batch: int = 64, T: int = 500, iters: int = 5):
 
 
 def main():
-    samples_per_sec, wall = bench_sampling()
+    # batch 256 ~1.8x batch-64 throughput (measured 2026-08-16); samples/s/chip
+    # is the metric, batch is free to choose
+    samples_per_sec, wall = bench_sampling(batch=256)
     train_steps_per_sec = bench_train_step()
     per_step_ms = wall / 499 * 1e3  # T-1 denoise steps per trajectory
 
     print(
-        f"[bench] sampling: {samples_per_sec:.2f} samples/s (batch 64, T=500, {wall:.3f}s/traj), "
+        f"[bench] sampling: {samples_per_sec:.2f} samples/s (batch 256, T=500, {wall:.3f}s/traj), "
         f"per-denoise-step {per_step_ms:.3f} ms, train {train_steps_per_sec:.2f} steps/s (batch 64)",
         file=sys.stderr,
     )

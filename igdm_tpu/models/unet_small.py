@@ -163,3 +163,78 @@ def apply_jit(params, state, x, t_emb, train: bool = False):
 
 def num_params(params) -> int:
     return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Inference-specialized path: BatchNorm folded into conv weights
+# ---------------------------------------------------------------------------
+
+
+def fold_bn(params, state, *, eps: float = 1e-5):
+    """Fold eval-mode BatchNorm affine+stats into the preceding conv.
+
+    y = BN(conv(x)) with running stats is conv(x)*s + t per channel, where
+    s = gamma/sqrt(var+eps), t = beta - mean*s. Folding gives w' = w*s,
+    b' = b*s + t — the sampler then runs a pure conv+bias+relu chain: fewer
+    ops, fewer HBM round-trips, and a cleaner graph for bf16 casting.
+
+    Returns a folded params pytree for :func:`apply_folded`. Only valid for
+    inference (training needs live batch statistics).
+    """
+
+    def fold_block(p, s, names):
+        out = {}
+        for conv_name, bn_name in names:
+            w = p[conv_name]["w"]
+            b = p[conv_name]["b"]
+            scale = p[bn_name]["scale"] * jax.lax.rsqrt(s[bn_name]["var"] + eps)
+            shift = p[bn_name]["bias"] - s[bn_name]["mean"] * scale
+            out[conv_name] = {"w": w * scale.reshape(1, 1, 1, -1), "b": b * scale + shift}
+        return out
+
+    names2 = [("conv1", "bn1"), ("conv2", "bn2")]
+    folded = {
+        "down1": fold_block(params["down1"], state["down1"], names2),
+        "down2": fold_block(params["down2"], state["down2"], names2),
+        "mid": fold_block(params["mid"], state["mid"], names2),
+        "up2": {
+            "convt": dict(params["up2"]["convt"]),
+            **fold_block(params["up2"], state["up2"], names2),
+        },
+        "up1": fold_block(params["up1"], state["up1"], names2),
+        "final": dict(params["final"]),
+    }
+    return folded
+
+
+def apply_folded(folded, x, t_emb, *, compute_dtype=None):
+    """Inference forward with BN pre-folded (see :func:`fold_bn`).
+
+    compute_dtype: jnp.bfloat16 runs the convs on the MXU at 2x fp32 rate;
+    the output is cast back to float32.
+    """
+    dt = compute_dtype or x.dtype
+
+    def cc(p):  # cast conv params
+        return p["w"].astype(dt), p["b"].astype(jnp.float32)
+
+    def conv_relu(p, h):
+        w, b = cc(p)
+        return jax.nn.relu(conv2d(h, w, b).astype(dt))
+
+    b_, h_, w_, _ = x.shape
+    tmap = jnp.broadcast_to(t_emb[:, None, None, :], (b_, h_, w_, t_emb.shape[-1]))
+    xin = jnp.concatenate([x, tmap], axis=-1).astype(dt)
+
+    h1 = conv_relu(folded["down1"]["conv2"], conv_relu(folded["down1"]["conv1"], xin))
+    h = max_pool_2x2(h1)
+    h = conv_relu(folded["down2"]["conv2"], conv_relu(folded["down2"]["conv1"], h))
+    h = conv_relu(folded["mid"]["conv2"], conv_relu(folded["mid"]["conv1"], h))
+    wt, bt = cc(folded["up2"]["convt"])
+    h = conv_transpose2d(h, wt, bt, stride=2).astype(dt)
+    h = conv_relu(folded["up2"]["conv2"], conv_relu(folded["up2"]["conv1"], h))
+    hh, ww = h.shape[1], h.shape[2]
+    h = jnp.concatenate([h, h1[:, :hh, :ww, :]], axis=-1)
+    h = conv_relu(folded["up1"]["conv2"], conv_relu(folded["up1"]["conv1"], h))
+    wf, bf = cc(folded["final"])
+    return conv2d(h, wf, bf).astype(jnp.float32)

@@ -1,0 +1,133 @@
+"""Sampler tests: determinism, explicit-noise injection, fast path parity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from igdm_tpu.config import DiffusionConfig, KarrasConfig
+from igdm_tpu.models import unet4, unet_small
+from igdm_tpu.sampling.ancestral import (
+    sample_ddim,
+    sample_ddpm,
+    sample_ddpm_fast,
+    sample_karras,
+    sample_with_sigmas,
+)
+
+
+@pytest.fixture(scope="module")
+def net():
+    return unet_small.init(jax.random.PRNGKey(0))
+
+
+CFG = DiffusionConfig(num_steps=5)
+
+
+def test_sample_ddpm_shape_and_range(net):
+    params, state = net
+    out = sample_ddpm(params, state, jax.random.PRNGKey(1), num_images=3, cfg=CFG)
+    o = np.asarray(out)
+    assert o.shape == (3, 32, 32, 1)
+    assert o.min() >= -1.0 and o.max() <= 1.0
+
+
+def test_sample_ddpm_deterministic_per_key(net):
+    params, state = net
+    a = np.asarray(sample_ddpm(params, state, jax.random.PRNGKey(2), num_images=2, cfg=CFG))
+    b = np.asarray(sample_ddpm(params, state, jax.random.PRNGKey(2), num_images=2, cfg=CFG))
+    c = np.asarray(sample_ddpm(params, state, jax.random.PRNGKey(3), num_images=2, cfg=CFG))
+    np.testing.assert_array_equal(a, b)
+    assert not np.allclose(a, c)
+
+
+def test_sample_ddpm_explicit_noise_matches_manual_loop(net):
+    """With injected noises, the scan must equal a hand-written python loop
+    of reverse_diffusion_step — the parity harness for reference comparison."""
+    from igdm_tpu.diffusion.processes import reverse_diffusion_step
+    from igdm_tpu.diffusion.schedules import alphas_cumprod, linear_beta_schedule
+    from igdm_tpu.models.embeddings import timestep_embedding
+
+    params, state = net
+    T = 5
+    rng = np.random.default_rng(0)
+    x_init = rng.standard_normal((2, 32, 32, 1)).astype(np.float32)
+    noises = rng.standard_normal((T - 1, 2, 32, 32, 1)).astype(np.float32)
+
+    got = np.asarray(
+        sample_ddpm(
+            params, state, jax.random.PRNGKey(0),
+            num_images=2, cfg=DiffusionConfig(num_steps=T),
+            x_init=x_init, noises=noises,
+        )
+    )
+
+    alpha_bar = jnp.asarray(
+        alphas_cumprod(linear_beta_schedule(T, 1e-4, 0.02)), jnp.float32
+    )
+    x = jnp.asarray(x_init)
+    for i, t in enumerate(range(T, 1, -1)):
+        t_emb = timestep_embedding(jnp.full((2,), t, jnp.float32), 128)
+        eps_pred, _ = unet_small.apply(params, state, x, t_emb, train=False)
+        x = reverse_diffusion_step(
+            x, eps_pred, jnp.asarray(noises[i]), alpha_bar[t - 1], alpha_bar[t - 2],
+            use_noise=True,
+        )
+    want = np.asarray(jnp.clip(x, -1, 1))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sample_fast_close_to_reference_path(net):
+    """BN-folded (f32) sampling must track the standard path closely."""
+    params, state = net
+    key = jax.random.PRNGKey(7)
+    a = np.asarray(sample_ddpm(params, state, key, num_images=4, cfg=CFG))
+    b = np.asarray(
+        sample_ddpm_fast(params, state, key, num_images=4, cfg=CFG, compute_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_fold_bn_matches_eval_forward(net):
+    from igdm_tpu.models.embeddings import timestep_embedding
+
+    params, state = net
+    folded = unet_small.fold_bn(params, state)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 32, 32, 1))
+    t_emb = timestep_embedding(jnp.array([1.0, 3.0]), 128)
+    a, _ = unet_small.apply(params, state, x, t_emb, train=False)
+    b = unet_small.apply_folded(folded, x, t_emb)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_sample_ddim_shapes(net):
+    params, state = net
+    out = sample_ddim(
+        params, state, jax.random.PRNGKey(5),
+        num_images=2, cfg=DiffusionConfig(num_steps=50), num_sample_steps=10,
+    )
+    o = np.asarray(out)
+    assert o.shape == (2, 32, 32, 1)
+    assert np.isfinite(o).all()
+
+
+def test_sample_karras_denormalizes():
+    params = unet4.init(jax.random.PRNGKey(0), base_ch=8)
+    out = sample_karras(
+        params, jax.random.PRNGKey(6),
+        num_images=2, cfg=KarrasConfig(num_steps=5),
+        mu=5.0, sigma=0.0,  # sigma=0 collapses output to exactly mu
+    )
+    np.testing.assert_allclose(np.asarray(out), 5.0, atol=1e-5)
+
+
+def test_sample_with_sigmas_matches_karras_when_same_schedule():
+    from igdm_tpu.diffusion.schedules import karras_sigma_schedule
+
+    params = unet4.init(jax.random.PRNGKey(0), base_ch=8)
+    key = jax.random.PRNGKey(8)
+    cfg = KarrasConfig(num_steps=5)
+    sig = karras_sigma_schedule(cfg.sigma_min, cfg.sigma_max, cfg.rho, cfg.num_steps)
+    a = np.asarray(sample_karras(params, key, num_images=2, cfg=cfg))
+    b = np.asarray(sample_with_sigmas(params, key, sig, num_images=2))
+    np.testing.assert_array_equal(a, b)
