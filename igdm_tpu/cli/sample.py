@@ -26,6 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="samples.png")
     p.add_argument("--per-image", action="store_true", help="also save generated_image_i.png per image")
+    p.add_argument("--debug-nans", action="store_true", help="raise at the first NaN produced on device")
     return p
 
 
@@ -33,6 +34,11 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax
+
+    if args.debug_nans:
+        from igdm_tpu.utils.debug import enable_nan_debugging
+
+        enable_nan_debugging()
     import jax.numpy as jnp
     import numpy as np
 

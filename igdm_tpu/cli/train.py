@@ -33,6 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--metrics", default=None, help="JSONL metrics path")
     p.add_argument("--n-devices", type=int, default=None, help="data-parallel mesh size")
     p.add_argument("--base-ch", type=int, default=None, help="unet4 base width (default 80)")
+    p.add_argument("--resume", default=None, help="checkpoint to resume DDPM training from")
     return p
 
 
@@ -104,7 +105,8 @@ def main(argv=None) -> int:
             seed=args.seed,
         )
         res = train_ddpm(
-            normalize_pm1(imgs), diff_cfg, train_cfg, mesh=mesh, out_dir=args.out_dir, log=print
+            normalize_pm1(imgs), diff_cfg, train_cfg, mesh=mesh, out_dir=args.out_dir,
+            resume_from=args.resume, log=print,
         )
         for i, l in enumerate(res.losses):
             metrics.log(i + 1, loss=l)

@@ -178,6 +178,7 @@ def train_ddpm(
     out_dir: str = ".",
     checkpoint_prefix: str = "ddpm_epoch",
     save_final: str | None = "trained_model",
+    resume_from: str | None = None,
     log: Callable[[str], None] | None = print,
 ) -> TrainResult:
     """Full training loop with early stopping and periodic checkpoints.
@@ -185,8 +186,12 @@ def train_ddpm(
     Args:
       imgs: (N, H, W, C) float32 images already scaled to [-1, 1].
       mesh: optional jax Mesh; batch is sharded over its 'data' axis.
+      resume_from: checkpoint path — restores params, optimizer moments, RNG,
+        step, epoch, and early-stopping counters, making the resumed run
+        bit-identical to the uninterrupted one (the reference cannot resume
+        at all: it never saved optimizer state, SURVEY.md section 5.4).
     """
-    from igdm_tpu.checkpoint.pytree_io import save_checkpoint
+    from igdm_tpu.checkpoint.pytree_io import load_checkpoint, save_checkpoint
 
     diff_cfg = diff_cfg or DiffusionConfig()
     train_cfg = train_cfg or TrainConfig()
@@ -194,6 +199,21 @@ def train_ddpm(
 
     key = jax.random.PRNGKey(train_cfg.seed)
     state, tx = init_train_state(key, diff_cfg, train_cfg, channels=imgs.shape[-1])
+
+    start_epoch = 0
+    resume_best = float("inf")
+    resume_no_improve = 0
+    resume_losses: list = []
+    if resume_from:
+        state, meta = load_checkpoint(resume_from, state)
+        start_epoch = int(meta.get("epoch") or 0)
+        es = meta.get("early_stop") or {}
+        resume_best = es.get("best", float("inf"))
+        resume_no_improve = int(es.get("no_improve", 0))
+        resume_losses = list(meta.get("losses") or [])
+        if log:
+            log(f"Resumed from {resume_from} at epoch {start_epoch} (step {int(state.step)})")
+
     epoch_fn = build_epoch_fn(tx, diff_cfg, train_cfg.batch_size, n)
 
     imgs_dev = jnp.asarray(imgs, jnp.float32)
@@ -208,11 +228,13 @@ def train_ddpm(
         )
 
     result = TrainResult(state=state)
-    best = float("inf")
-    no_improve = 0
+    result.losses = resume_losses
+    result.epochs_run = start_epoch
+    best = resume_best
+    no_improve = resume_no_improve
     t0 = time.time()
 
-    for epoch in range(1, train_cfg.epochs + 1):
+    for epoch in range(start_epoch + 1, train_cfg.epochs + 1):
         state, loss = epoch_fn(state, imgs_dev)
         loss = float(loss)
         result.losses.append(loss)
@@ -237,6 +259,8 @@ def train_ddpm(
             save_checkpoint(
                 path, state, diff_cfg=diff_cfg, train_cfg=train_cfg, epoch=epoch,
                 model="unet_small",
+                early_stop={"best": best, "no_improve": no_improve},
+                losses=result.losses,
             )
             result.checkpoints.append(path)
         result.state = state
@@ -247,6 +271,8 @@ def train_ddpm(
         save_checkpoint(
             path, result.state, diff_cfg=diff_cfg, train_cfg=train_cfg,
             epoch=result.epochs_run, model="unet_small",
+            early_stop={"best": best, "no_improve": no_improve},
+            losses=result.losses,
         )
         result.checkpoints.append(path)
     return result

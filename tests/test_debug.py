@@ -1,0 +1,29 @@
+"""NaN-debugging utilities (aux subsystem: SURVEY.md section 5.2)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from igdm_tpu.utils.debug import checked_call
+
+
+def test_checked_call_passes_clean():
+    out = checked_call(lambda x: x * 2.0, jnp.ones((4,)))
+    np.testing.assert_array_equal(np.asarray(out), 2.0)
+
+
+def test_checked_call_raises_on_nan():
+    def bad(x):
+        return x / jnp.zeros_like(x)  # inf, then nan via 0/0 at x=0
+
+    with pytest.raises(Exception):
+        checked_call(lambda x: jnp.log(-x), jnp.ones((4,)))
+
+
+def test_assert_finite_noop_when_disabled(monkeypatch):
+    monkeypatch.delenv("IGDM_DEBUG_NANS", raising=False)
+    from igdm_tpu.utils.debug import assert_finite
+
+    x = jnp.asarray([np.nan])
+    out = assert_finite(x, "x")  # disabled: passes through
+    assert np.isnan(np.asarray(out)).all()

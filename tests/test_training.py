@@ -89,6 +89,43 @@ def test_load_for_sampling_generic(small_imgs, tmp_path):
     assert meta["model"] == "unet_small"
 
 
+def test_resume_is_bit_identical_to_uninterrupted_run(small_imgs, tmp_path):
+    """train(4 epochs) == train(2) -> resume -> train(2 more), bit-exact.
+
+    Works because the full state (params, Adam moments, RNG, step) round-trips
+    and per-epoch keys derive from state.step — the capability the reference
+    checkpoints fundamentally lack (SURVEY.md section 5.4)."""
+    from igdm_tpu.training.ddpm import train_ddpm
+
+    diff = DiffusionConfig(num_steps=5)
+
+    d1 = tmp_path / "cont"
+    d1.mkdir()
+    cont = train_ddpm(
+        small_imgs, diff, TrainConfig(batch_size=16, epochs=4, patience=50, checkpoint_every=0),
+        out_dir=str(d1), log=None,
+    )
+
+    d2 = tmp_path / "split"
+    d2.mkdir()
+    train_ddpm(
+        small_imgs, diff, TrainConfig(batch_size=16, epochs=2, patience=50, checkpoint_every=0),
+        out_dir=str(d2), log=None,
+    )
+    resumed = train_ddpm(
+        small_imgs, diff, TrainConfig(batch_size=16, epochs=4, patience=50, checkpoint_every=0),
+        out_dir=str(d2), resume_from=str(d2 / "trained_model.npz"), log=None,
+    )
+
+    assert resumed.epochs_run == 4
+    for a, b in zip(
+        jax.tree_util.tree_leaves(cont.state.params),
+        jax.tree_util.tree_leaves(resumed.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(cont.losses[2:], resumed.losses[2:], rtol=0, atol=0)
+
+
 def test_train_modern_smoke(tmp_path):
     from igdm_tpu.training.modern import ModernTrainConfig, train_modern
 
