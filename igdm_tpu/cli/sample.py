@@ -90,19 +90,28 @@ def main(argv=None) -> int:
             T = config_from_dict(DiffusionConfig, meta["diff_cfg"]).num_steps
         T = T or 500
 
+    data_meta = meta.get("data", {}) if isinstance(meta, dict) else {}
+    channels = int(data_meta.get("channels", 1))
+    image_size = tuple(data_meta.get("image_size", (32, 32)))
+
     cfg = DiffusionConfig(num_steps=T)
     if args.sampler == "ddim":
         from igdm_tpu.sampling.ancestral import sample_ddim
 
         out = sample_ddim(
-            params, state, key, num_images=args.n, cfg=cfg, num_sample_steps=args.ddim_steps
+            params, state, key, num_images=args.n, cfg=cfg,
+            num_sample_steps=args.ddim_steps, channels=channels, image_size=image_size,
         )
     else:
         from igdm_tpu.sampling.ancestral import sample_ddpm
 
-        out = sample_ddpm(params, state, key, num_images=args.n, cfg=cfg)
+        out = sample_ddpm(
+            params, state, key, num_images=args.n, cfg=cfg,
+            channels=channels, image_size=image_size,
+        )
 
-    imgs01 = (np.asarray(out)[..., 0] + 1.0) / 2.0
+    arr = np.asarray(out)
+    imgs01 = (arr[..., 0] + 1.0) / 2.0 if channels == 1 else (arr + 1.0) / 2.0
     save_sample_grid(imgs01, args.out, title="Generated Images")
     print(f"saved {args.n} samples (T={T}, {args.sampler}) to {args.out}")
     if args.per_image:

@@ -34,6 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-devices", type=int, default=None, help="data-parallel mesh size")
     p.add_argument("--base-ch", type=int, default=None, help="unet4 base width (default 80)")
     p.add_argument("--resume", default=None, help="checkpoint to resume DDPM training from")
+    p.add_argument("--cifar", default=None, help="CIFAR-10 batches dir (stretch config)")
+    p.add_argument("--grayscale", action="store_true", help="convert CIFAR to 1 channel")
+    p.add_argument(
+        "--image-size", type=int, default=32, choices=[32, 64],
+        help="64 upscales the 32x32 source 2x (stretch config)",
+    )
+    p.add_argument("--mid-attn", action="store_true", help="bottleneck self-attention (stretch)")
     return p
 
 
@@ -45,7 +52,16 @@ def main(argv=None) -> int:
     from igdm_tpu.data.mat import load_synthetic_images, normalize_pm1
     from igdm_tpu.utils.metrics import MetricsLogger
 
-    imgs = load_synthetic_images(args.data)
+    if args.cifar:
+        from igdm_tpu.data.cifar import load_cifar10
+
+        imgs, _ = load_cifar10(args.cifar, grayscale=args.grayscale)
+    else:
+        imgs = load_synthetic_images(args.data)
+    if args.image_size == 64:
+        from igdm_tpu.data.cifar import upscale_2x
+
+        imgs = upscale_2x(imgs)
     metrics = MetricsLogger(args.metrics, echo=False)
 
     if args.model == "mlp":
@@ -106,7 +122,7 @@ def main(argv=None) -> int:
         )
         res = train_ddpm(
             normalize_pm1(imgs), diff_cfg, train_cfg, mesh=mesh, out_dir=args.out_dir,
-            resume_from=args.resume, log=print,
+            resume_from=args.resume, mid_attn=args.mid_attn, log=print,
         )
         for i, l in enumerate(res.losses):
             metrics.log(i + 1, loss=l)

@@ -89,7 +89,8 @@ def save_sample_grid(samples: np.ndarray, path: str, title: str | None = None) -
     import matplotlib.pyplot as plt
 
     imgs = np.asarray(samples)
-    if imgs.ndim == 4:
+    rgb = imgs.ndim == 4 and imgs.shape[-1] == 3
+    if imgs.ndim == 4 and imgs.shape[-1] == 1:
         imgs = imgs[..., 0]
     n = imgs.shape[0]
     cols = math.ceil(math.sqrt(n))
@@ -99,7 +100,10 @@ def save_sample_grid(samples: np.ndarray, path: str, title: str | None = None) -
     for i, ax in enumerate(axes):
         ax.set_axis_off()
         if i < n:
-            ax.imshow(imgs[i], cmap="gray")
+            if rgb:
+                ax.imshow(np.clip(imgs[i], 0.0, 1.0))
+            else:
+                ax.imshow(imgs[i], cmap="gray")
     if title:
         fig.suptitle(title)
     fig.savefig(path, bbox_inches="tight", dpi=150)

@@ -51,8 +51,15 @@ def _bn_state(c):
     return {"mean": jnp.zeros((c,), jnp.float32), "var": jnp.ones((c,), jnp.float32)}
 
 
-def init(key, channels: int = 1, embed_dim: int = EMBED_DIM):
-    """Initialize (params, state) pytrees."""
+def init(key, channels: int = 1, embed_dim: int = EMBED_DIM, *, mid_attn: bool = False):
+    """Initialize (params, state) pytrees.
+
+    channels: image channels — both input and eps-prediction output (1 for
+      the reference pipeline, 3 for the CIFAR stretch config).
+    mid_attn: add a residual self-attention block after the bottleneck
+      (standard DDPM practice for the 64x64 stretch; absent in the
+      reference, so off by default — checkpoint-import structures match).
+    """
     ks = jax.random.split(key, 12)
     params = {
         "down1": {
@@ -86,8 +93,12 @@ def init(key, channels: int = 1, embed_dim: int = EMBED_DIM):
             "conv2": _conv(ks[10], 3, 3, 64, 64),
             "bn2": _bn(64),
         },
-        "final": _conv(ks[11], 1, 1, 64, 1),
+        "final": _conv(ks[11], 1, 1, 64, channels),
     }
+    if mid_attn:
+        from igdm_tpu.ops.attention import init_attention
+
+        params["attn"] = init_attention(jax.random.fold_in(key, 99), 128)
     state = {
         "down1": {"bn1": _bn_state(64), "bn2": _bn_state(64)},
         "down2": {"bn1": _bn_state(128), "bn2": _bn_state(128)},
@@ -141,6 +152,10 @@ def apply(params, state, x, t_emb, *, train: bool = False, axis_name: str | None
     h1, s_d1 = _block(params["down1"], state["down1"], xin, names2, **kw)
     h2, s_d2 = _block(params["down2"], state["down2"], max_pool_2x2(h1), names2, **kw)
     h3, s_mid = _block(params["mid"], state["mid"], h2, names2, **kw)
+    if "attn" in params:
+        from igdm_tpu.ops.attention import spatial_self_attention
+
+        h3 = spatial_self_attention(params["attn"], h3)
 
     up = conv_transpose2d(h3, params["up2"]["convt"]["w"], params["up2"]["convt"]["b"], stride=2)
     up, s_u2 = _block(params["up2"], state["up2"], up, names2, **kw)

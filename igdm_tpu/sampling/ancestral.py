@@ -37,7 +37,7 @@ def _alpha_bar(cfg: DiffusionConfig) -> jnp.ndarray:
     )
 
 
-@partial(jax.jit, static_argnames=("num_images", "image_size", "num_steps", "embed_dim"))
+@partial(jax.jit, static_argnames=("num_images", "image_size", "num_steps", "embed_dim", "channels"))
 def _sample_ddpm_impl(
     params,
     model_state,
@@ -49,10 +49,11 @@ def _sample_ddpm_impl(
     image_size: tuple,
     num_steps: int,
     embed_dim: int,
+    channels: int = 1,
 ):
     h, w = image_size
     k_init, k_loop = jax.random.split(key)
-    x = jax.random.normal(k_init, (num_images, h, w, 1), jnp.float32)
+    x = jax.random.normal(k_init, (num_images, h, w, channels), jnp.float32)
     t_vals = jnp.arange(num_steps, 1, -1)  # T, T-1, ..., 2
 
     def body(x, inputs):
@@ -84,6 +85,7 @@ def sample_ddpm(
     cfg: DiffusionConfig | None = None,
     x_init=None,
     noises=None,
+    channels: int = 1,
 ):
     """Ancestral sampling with the reference's exact update rule.
 
@@ -100,23 +102,23 @@ def sample_ddpm(
         return _sample_ddpm_explicit(
             params, model_state, key, alpha_bar, x_init, noises,
             num_images=num_images, image_size=tuple(image_size),
-            num_steps=cfg.num_steps, embed_dim=cfg.embed_dim,
+            num_steps=cfg.num_steps, embed_dim=cfg.embed_dim, channels=channels,
         )
     return _sample_ddpm_impl(
         params, model_state, key, alpha_bar, None,
         num_images=num_images, image_size=tuple(image_size),
-        num_steps=cfg.num_steps, embed_dim=cfg.embed_dim,
+        num_steps=cfg.num_steps, embed_dim=cfg.embed_dim, channels=channels,
     )
 
 
-@partial(jax.jit, static_argnames=("num_images", "image_size", "num_steps", "embed_dim"))
+@partial(jax.jit, static_argnames=("num_images", "image_size", "num_steps", "embed_dim", "channels"))
 def _sample_ddpm_explicit(
     params, model_state, key, alpha_bar, x_init, noises,
-    *, num_images, image_size, num_steps, embed_dim,
+    *, num_images, image_size, num_steps, embed_dim, channels=1,
 ):
     h, w = image_size
     if x_init is None:
-        x_init = jax.random.normal(key, (num_images, h, w, 1), jnp.float32)
+        x_init = jax.random.normal(key, (num_images, h, w, channels), jnp.float32)
     x = jnp.asarray(x_init, jnp.float32)
     t_vals = jnp.arange(num_steps, 1, -1)
 
@@ -142,6 +144,7 @@ def sample_ddpm_fast(
     image_size: tuple = (32, 32),
     cfg: DiffusionConfig | None = None,
     compute_dtype=jnp.bfloat16,
+    channels: int = 1,
 ):
     """Speed-of-light ancestral sampling: BatchNorm folded into convs and
     (by default) bfloat16 conv compute on the MXU. Same update rule as
@@ -152,20 +155,21 @@ def sample_ddpm_fast(
         folded, key, _alpha_bar(cfg),
         num_images=num_images, image_size=tuple(image_size),
         num_steps=cfg.num_steps, embed_dim=cfg.embed_dim,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, channels=channels,
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("num_images", "image_size", "num_steps", "embed_dim", "compute_dtype"),
+    static_argnames=("num_images", "image_size", "num_steps", "embed_dim", "compute_dtype", "channels"),
 )
 def _sample_fast_impl(
-    folded, key, alpha_bar, *, num_images, image_size, num_steps, embed_dim, compute_dtype
+    folded, key, alpha_bar, *, num_images, image_size, num_steps, embed_dim, compute_dtype,
+    channels=1,
 ):
     h, w = image_size
     k_init, k_loop = jax.random.split(key)
-    x = jax.random.normal(k_init, (num_images, h, w, 1), jnp.float32)
+    x = jax.random.normal(k_init, (num_images, h, w, channels), jnp.float32)
     t_vals = jnp.arange(num_steps, 1, -1)
 
     def body(x, inputs):
@@ -192,6 +196,7 @@ def sample_ddim(
     cfg: DiffusionConfig | None = None,
     num_sample_steps: int = 50,
     eta: float = 0.0,
+    channels: int = 1,
 ):
     """Fast DDIM sampling over a strided timestep subset — the accelerated
     sampler the reference lacks (BASELINE.json stretch config)."""
@@ -204,18 +209,18 @@ def sample_ddim(
         params, model_state, key, alpha_bar,
         jnp.asarray(ts.copy()), jnp.asarray(ts_prev.copy()),
         num_images=num_images, image_size=tuple(image_size),
-        embed_dim=cfg.embed_dim, eta=eta,
+        embed_dim=cfg.embed_dim, eta=eta, channels=channels,
     )
 
 
-@partial(jax.jit, static_argnames=("num_images", "image_size", "embed_dim", "eta"))
+@partial(jax.jit, static_argnames=("num_images", "image_size", "embed_dim", "eta", "channels"))
 def _sample_ddim_impl(
     params, model_state, key, alpha_bar, ts, ts_prev,
-    *, num_images, image_size, embed_dim, eta,
+    *, num_images, image_size, embed_dim, eta, channels=1,
 ):
     h, w = image_size
     k_init, k_loop = jax.random.split(key)
-    x = jax.random.normal(k_init, (num_images, h, w, 1), jnp.float32)
+    x = jax.random.normal(k_init, (num_images, h, w, channels), jnp.float32)
     ab_ext = jnp.concatenate([jnp.ones((1,), jnp.float32), alpha_bar])  # ab_ext[t] for t in 0..T
 
     def body(x, inputs):
@@ -289,14 +294,17 @@ def sample_with_sigmas(
 
 @partial(
     jax.jit,
-    static_argnames=("num_images", "image_size", "num_steps", "mu", "sigma", "final_sigmoid"),
+    static_argnames=(
+        "num_images", "image_size", "num_steps", "mu", "sigma", "final_sigmoid", "channels",
+    ),
 )
 def _sample_karras_impl(
-    params, key, sigmas, *, num_images, image_size, num_steps, mu, sigma, final_sigmoid
+    params, key, sigmas, *, num_images, image_size, num_steps, mu, sigma, final_sigmoid,
+    channels=1,
 ):
     h, w = image_size
     k_init, k_loop = jax.random.split(key)
-    x = jax.random.normal(k_init, (num_images, h, w, 1), jnp.float32)
+    x = jax.random.normal(k_init, (num_images, h, w, channels), jnp.float32)
     t_vals = jnp.arange(num_steps, 0, -1)  # steps .. 1
 
     def body(x, inputs):

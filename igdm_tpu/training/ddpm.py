@@ -41,9 +41,16 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.adam(cfg.lr)
 
 
-def init_train_state(key, diff_cfg: DiffusionConfig, train_cfg: TrainConfig, channels: int = 1):
+def init_train_state(
+    key,
+    diff_cfg: DiffusionConfig,
+    train_cfg: TrainConfig,
+    channels: int = 1,
+    *,
+    mid_attn: bool = False,
+):
     kp, kr = jax.random.split(key)
-    params, model_state = unet_small.init(kp, channels, diff_cfg.embed_dim)
+    params, model_state = unet_small.init(kp, channels, diff_cfg.embed_dim, mid_attn=mid_attn)
     tx = make_optimizer(train_cfg)
     return (
         TrainState(
@@ -179,6 +186,7 @@ def train_ddpm(
     checkpoint_prefix: str = "ddpm_epoch",
     save_final: str | None = "trained_model",
     resume_from: str | None = None,
+    mid_attn: bool = False,
     log: Callable[[str], None] | None = print,
 ) -> TrainResult:
     """Full training loop with early stopping and periodic checkpoints.
@@ -198,7 +206,14 @@ def train_ddpm(
     n = imgs.shape[0]
 
     key = jax.random.PRNGKey(train_cfg.seed)
-    state, tx = init_train_state(key, diff_cfg, train_cfg, channels=imgs.shape[-1])
+    state, tx = init_train_state(
+        key, diff_cfg, train_cfg, channels=imgs.shape[-1], mid_attn=mid_attn
+    )
+    data_meta = {
+        "channels": int(imgs.shape[-1]),
+        "image_size": [int(imgs.shape[1]), int(imgs.shape[2])],
+        "mid_attn": mid_attn,
+    }
 
     start_epoch = 0
     resume_best = float("inf")
@@ -258,7 +273,7 @@ def train_ddpm(
             path = os.path.join(out_dir, f"{checkpoint_prefix}_{epoch}.npz")
             save_checkpoint(
                 path, state, diff_cfg=diff_cfg, train_cfg=train_cfg, epoch=epoch,
-                model="unet_small",
+                model="unet_small", data=data_meta,
                 early_stop={"best": best, "no_improve": no_improve},
                 losses=result.losses,
             )
@@ -270,7 +285,7 @@ def train_ddpm(
         path = os.path.join(out_dir, f"{save_final}.npz")
         save_checkpoint(
             path, result.state, diff_cfg=diff_cfg, train_cfg=train_cfg,
-            epoch=result.epochs_run, model="unet_small",
+            epoch=result.epochs_run, model="unet_small", data=data_meta,
             early_stop={"best": best, "no_improve": no_improve},
             losses=result.losses,
         )

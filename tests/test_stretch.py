@@ -1,0 +1,129 @@
+"""Stretch configs: CIFAR-10 loader, 64x64 / multi-channel training,
+bottleneck attention (BASELINE.json stretch: "CIFAR-10 32x32 + 64x64 U-Net
+with 50-step DDIM fast sampler, data-parallel")."""
+
+import os
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from igdm_tpu.config import DiffusionConfig, TrainConfig
+
+
+@pytest.fixture
+def fake_cifar_dir(tmp_path):
+    """Synthesize CIFAR-10 python-batch files (the real archive can't be
+    downloaded in this zero-egress environment)."""
+    rng = np.random.default_rng(0)
+    d = tmp_path / "cifar-10-batches-py"
+    d.mkdir()
+    for name, n in [(f"data_batch_{i}", 20) for i in range(1, 6)] + [("test_batch", 10)]:
+        data = rng.integers(0, 256, (n, 3072), dtype=np.uint8)
+        labels = rng.integers(0, 10, n).tolist()
+        with open(d / name, "wb") as fh:
+            pickle.dump({b"data": data, b"labels": labels}, fh)
+    return str(tmp_path)
+
+
+def test_load_cifar10_train_and_test(fake_cifar_dir):
+    from igdm_tpu.data.cifar import load_cifar10
+
+    imgs, labels = load_cifar10(fake_cifar_dir)
+    assert imgs.shape == (100, 32, 32, 3)
+    assert imgs.dtype == np.float32
+    assert 0.0 <= imgs.min() and imgs.max() <= 1.0
+    assert labels.shape == (100,)
+    timgs, tlabels = load_cifar10(fake_cifar_dir, split="test")
+    assert timgs.shape == (10, 32, 32, 3)
+
+
+def test_load_cifar10_grayscale(fake_cifar_dir):
+    from igdm_tpu.data.cifar import load_cifar10
+
+    imgs, _ = load_cifar10(fake_cifar_dir, grayscale=True)
+    assert imgs.shape == (100, 32, 32, 1)
+
+
+def test_load_cifar10_missing_dir(tmp_path):
+    from igdm_tpu.data.cifar import load_cifar10
+
+    with pytest.raises(FileNotFoundError):
+        load_cifar10(str(tmp_path / "nope"))
+
+
+def test_upscale_2x():
+    from igdm_tpu.data.cifar import upscale_2x
+
+    x = np.arange(4, dtype=np.float32).reshape(1, 2, 2, 1)
+    y = upscale_2x(x)
+    assert y.shape == (1, 4, 4, 1)
+    np.testing.assert_array_equal(y[0, :2, :2, 0], x[0, 0, 0, 0])
+
+
+def test_train_ddpm_3channel_64x64_smoke(tmp_path):
+    """Multi-channel 64x64 end-to-end: train one epoch, sample with DDIM."""
+    from igdm_tpu.sampling.ancestral import sample_ddim
+    from igdm_tpu.training.ddpm import train_ddpm
+
+    rng = np.random.default_rng(1)
+    imgs = rng.standard_normal((16, 64, 64, 3)).astype(np.float32) * 0.5
+    diff = DiffusionConfig(num_steps=5)
+    res = train_ddpm(
+        imgs, diff, TrainConfig(batch_size=8, epochs=1, patience=50, checkpoint_every=0),
+        out_dir=str(tmp_path), log=None,
+    )
+    assert np.isfinite(res.losses[0])
+    out = sample_ddim(
+        res.state.params, res.state.model_state, jax.random.PRNGKey(0),
+        num_images=2, cfg=diff, num_sample_steps=3, channels=3, image_size=(64, 64),
+    )
+    assert np.asarray(out).shape == (2, 64, 64, 3)
+
+
+def test_mid_attention_forward_and_grad():
+    from igdm_tpu.models import unet_small
+    from igdm_tpu.models.embeddings import timestep_embedding
+
+    params, state = unet_small.init(jax.random.PRNGKey(0), mid_attn=True)
+    assert "attn" in params
+    x = jnp.ones((2, 32, 32, 1))
+    t_emb = timestep_embedding(jnp.array([1.0, 2.0]), 128)
+    out, _ = unet_small.apply(params, state, x, t_emb, train=False)
+    assert out.shape == (2, 32, 32, 1)
+
+    # attention params receive gradients (proj is zero-init, qkv/norm must flow)
+    def loss(p):
+        o, _ = unet_small.apply(p, state, x, t_emb, train=False)
+        return jnp.mean(o**2)
+
+    g = jax.grad(loss)(params)
+    gn = sum(float(jnp.abs(v).sum()) for v in jax.tree_util.tree_leaves(g["attn"]["proj"]))
+    assert gn > 0.0  # proj grad nonzero even though proj itself is zero-init
+
+
+def test_attention_zero_init_is_identity():
+    from igdm_tpu.ops.attention import init_attention, spatial_self_attention
+
+    params = init_attention(jax.random.PRNGKey(0), 32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 32))
+    out = spatial_self_attention(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+
+def test_attention_checkpoint_roundtrip(tmp_path):
+    from igdm_tpu.checkpoint.pytree_io import load_for_sampling
+    from igdm_tpu.training.ddpm import train_ddpm
+
+    rng = np.random.default_rng(2)
+    imgs = rng.standard_normal((16, 32, 32, 1)).astype(np.float32)
+    res = train_ddpm(
+        imgs, DiffusionConfig(num_steps=5),
+        TrainConfig(batch_size=8, epochs=1, patience=50, checkpoint_every=0),
+        out_dir=str(tmp_path), mid_attn=True, log=None,
+    )
+    params, state, meta = load_for_sampling(str(tmp_path / "trained_model.npz"))
+    assert "attn" in params
+    assert meta["data"]["mid_attn"] is True
