@@ -51,6 +51,9 @@ def save_checkpoint(path: str, state: TrainState, *, epoch: int | None = None, *
     for section in ("params", "model_state", "opt_state"):
         for k, v in _flatten_with_paths(getattr(state, section)).items():
             payload[f"{section}/{k}"] = v
+    if getattr(state, "ema_params", None) is not None:
+        for k, v in _flatten_with_paths(state.ema_params).items():
+            payload[f"ema_params/{k}"] = v
     payload["step"] = np.asarray(state.step)
     payload["rng"] = np.asarray(jax.random.key_data(state.rng)) if hasattr(
         jax.random, "key_data"
@@ -76,11 +79,17 @@ def _nest(flat: dict[str, np.ndarray]) -> dict:
     return out
 
 
-def load_for_sampling(path: str) -> tuple[dict, dict, dict]:
+def load_for_sampling(path: str, *, prefer_ema: bool = False) -> tuple[dict, dict, dict]:
     """Load just (params, model_state, meta) from a checkpoint — no template
-    needed; nested dicts are rebuilt from the flat '/'-joined keys."""
+    needed; nested dicts are rebuilt from the flat '/'-joined keys.
+
+    prefer_ema: return the EMA weights instead of the raw ones when present.
+    """
     flat, meta = load_checkpoint(path)
-    params = _nest({k[len("params/") :]: v for k, v in flat.items() if k.startswith("params/")})
+    prefix = "ema_params/" if prefer_ema and any(
+        k.startswith("ema_params/") for k in flat
+    ) else "params/"
+    params = _nest({k[len(prefix) :]: v for k, v in flat.items() if k.startswith(prefix)})
     mstate = _nest(
         {k[len("model_state/") :]: v for k, v in flat.items() if k.startswith("model_state/")}
     )
@@ -108,11 +117,16 @@ def load_checkpoint(path: str, template: TrainState | None = None) -> tuple[dict
         template.rng.dtype, jax.dtypes.prng_key
     ):
         rng = jax.random.wrap_key_data(rng)
+    ema = getattr(template, "ema_params", None)
+    if ema is not None and any(k.startswith("ema_params/") for k in flat):
+        sub = {k[len("ema_params/") :]: v for k, v in flat.items() if k.startswith("ema_params/")}
+        ema = _unflatten_into(ema, sub)
     state = template.replace(
         params=sections["params"],
         model_state=sections["model_state"],
         opt_state=sections["opt_state"],
         step=flat["step"],
         rng=rng,
+        ema_params=ema,
     )
     return state, meta

@@ -27,6 +27,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default="samples.png")
     p.add_argument("--per-image", action="store_true", help="also save generated_image_i.png per image")
     p.add_argument("--debug-nans", action="store_true", help="raise at the first NaN produced on device")
+    p.add_argument("--ema", action="store_true", help="sample with the EMA weights if present")
     return p
 
 
@@ -59,7 +60,7 @@ def main(argv=None) -> int:
     else:
         from igdm_tpu.checkpoint.pytree_io import load_for_sampling
 
-        params, state, meta = load_for_sampling(args.model)
+        params, state, meta = load_for_sampling(args.model, prefer_ema=args.ema)
         params = jax.tree_util.tree_map(jnp.asarray, params)
         state = jax.tree_util.tree_map(jnp.asarray, state)
 

@@ -74,6 +74,9 @@ class TrainConfig:
     weight_decay: float = 0.0
     warmup_epochs: int = 0
     lr_min: float = 1e-6
+    # exponential moving average of weights for sampling (standard DDPM
+    # practice; absent in the reference). 0 disables; 0.999 typical.
+    ema_decay: float = 0.0
 
 
 def to_dict(cfg: Any) -> dict:

@@ -52,6 +52,7 @@ def init_train_state(
     kp, kr = jax.random.split(key)
     params, model_state = unet_small.init(kp, channels, diff_cfg.embed_dim, mid_attn=mid_attn)
     tx = make_optimizer(train_cfg)
+    ema = jax.tree_util.tree_map(jnp.array, params) if train_cfg.ema_decay > 0 else None
     return (
         TrainState(
             params=params,
@@ -59,6 +60,7 @@ def init_train_state(
             opt_state=tx.init(params),
             step=jnp.asarray(0, jnp.int32),
             rng=kr,
+            ema_params=ema,
         ),
         tx,
     )
@@ -87,6 +89,7 @@ def build_epoch_fn(
     n_images: int,
     *,
     use_scan: bool | None = None,
+    ema_decay: float = 0.0,
 ) -> Callable:
     """Compile one full epoch of training.
 
@@ -124,9 +127,15 @@ def build_epoch_fn(
         )
         updates, new_opt = tx.update(grads, st.opt_state, st.params)
         new_params = optax.apply_updates(st.params, updates)
+        new_ema = st.ema_params
+        if ema_decay > 0:
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, st.ema_params, new_params
+            )
         return (
             st.replace(
-                params=new_params, model_state=new_mstate, opt_state=new_opt, step=st.step + 1
+                params=new_params, model_state=new_mstate, opt_state=new_opt,
+                step=st.step + 1, ema_params=new_ema,
             ),
             loss,
         )
@@ -229,7 +238,9 @@ def train_ddpm(
         if log:
             log(f"Resumed from {resume_from} at epoch {start_epoch} (step {int(state.step)})")
 
-    epoch_fn = build_epoch_fn(tx, diff_cfg, train_cfg.batch_size, n)
+    epoch_fn = build_epoch_fn(
+        tx, diff_cfg, train_cfg.batch_size, n, ema_decay=train_cfg.ema_decay
+    )
 
     imgs_dev = jnp.asarray(imgs, jnp.float32)
     if mesh is not None:

@@ -21,6 +21,7 @@ class TrainState:
     opt_state: Any
     step: int
     rng: Any  # jax PRNG key
+    ema_params: Any = None  # exponential moving average of params (optional)
 
     def next_rng(self):
         import jax

@@ -147,6 +147,30 @@ def test_train_modern_smoke(tmp_path):
     assert "mu" in meta["norm"] and "sigma" in meta["norm"]
 
 
+def test_ema_tracked_saved_and_loadable(small_imgs, tmp_path):
+    from igdm_tpu.checkpoint.pytree_io import load_for_sampling
+    from igdm_tpu.training.ddpm import train_ddpm
+
+    res = train_ddpm(
+        small_imgs,
+        DiffusionConfig(num_steps=5),
+        TrainConfig(batch_size=16, epochs=2, patience=50, checkpoint_every=0, ema_decay=0.9),
+        out_dir=str(tmp_path),
+        log=None,
+    )
+    assert res.state.ema_params is not None
+    raw, _, _ = load_for_sampling(str(tmp_path / "trained_model.npz"))
+    ema, _, _ = load_for_sampling(str(tmp_path / "trained_model.npz"), prefer_ema=True)
+    diffs = [
+        float(np.abs(a - b).max())
+        for a, b in zip(jax.tree_util.tree_leaves(raw), jax.tree_util.tree_leaves(ema))
+    ]
+    assert max(diffs) > 0  # EMA lags the raw weights
+    # EMA must be a plausible smoothing, not garbage: close to raw
+    rel = max(diffs)
+    assert rel < 1.0
+
+
 def test_warmup_cosine_matches_reference_shape():
     from igdm_tpu.training.lr_schedules import warmup_cosine_lr
 
