@@ -14,6 +14,7 @@ Secondary metrics go to stderr for the record.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -78,6 +79,14 @@ def bench_train_step(batch: int = 64, T: int = 500, iters: int = 5):
 
 
 def main():
+    profile_dir = os.environ.get("IGDM_PROFILE")
+    if profile_dir:
+        from igdm_tpu.utils.prof import profile_trace
+
+        with profile_trace(profile_dir):
+            bench_sampling(batch=256, iters=1)
+        print(f"[bench] profiler trace written to {profile_dir}", file=sys.stderr)
+
     # batch 256 ~1.8x batch-64 throughput (measured 2026-08-16); samples/s/chip
     # is the metric, batch is free to choose
     samples_per_sec, wall = bench_sampling(batch=256)

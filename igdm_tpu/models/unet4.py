@@ -55,33 +55,50 @@ def _conv_block(key, cin, cout, *, double=True):
     return block
 
 
-def init(key, in_channels: int = 1, base_ch: int = 64, time_dim: int = TIME_DIM):
-    """Initialize the params pytree. base_ch=80 is the reference training
-    config (train_net.jl:188); 64 its sampling config (sample.jl:93)."""
-    b1, b2, b4, b8, b16 = (base_ch * m for m in (1, 2, 4, 8, 16))
-    ks = jax.random.split(key, 16)
-    return {
+def init(key, in_channels: int = 1, base_ch: int = 64, time_dim: int = TIME_DIM, *, levels: int = 4):
+    """Initialize the params pytree.
+
+    levels: depth of the encoder/decoder. 4 matches Shared.SimpleUNet
+      (channel ladder base_ch * {1,2,4,...,2^levels}); 3 covers the scale of
+      the reference's never-instantiated build_unet (a 3-level 128->1024 net,
+      src/ImageGenerationDiffusionModels.jl:299-333).
+    base_ch: 80 is the reference training config (train_net.jl:188); 64 its
+      sampling config (sample.jl:93).
+    """
+    mults = [2**i for i in range(levels + 1)]  # 1, 2, ..., 2^levels (bottleneck)
+    chans = [base_ch * m for m in mults]
+    params = {
         "time_mlp": {
-            "dense1": _dense(ks[0], time_dim, 256),
-            "dense2": _dense(ks[1], 256, 128),
-        },
-        "down1": {"block": _conv_block(ks[2], in_channels, b1), "tbias": _dense(ks[3], 128, b1)},
-        "down2": {"block": _conv_block(ks[4], b1, b2), "tbias": _dense(ks[5], 128, b2)},
-        "down3": {"block": _conv_block(ks[6], b2, b4), "tbias": _dense(ks[7], 128, b4)},
-        "down4": {"block": _conv_block(ks[8], b4, b8), "tbias": _dense(ks[9], 128, b8)},
-        "mid": {"block": _conv_block(ks[10], b8, b16), "tbias": _dense(ks[11], 128, b16)},
-        "up3": {"block": _conv_block(ks[12], b16 + b8, b8), "tbias": _dense(ks[13], 128, b8)},
-        "up2": {"block": _conv_block(ks[14], b8 + b4, b4), "tbias": _dense(ks[15], 128, b4)},
-        "up1": {
-            "block": _conv_block(jax.random.fold_in(key, 101), b4 + b2, b2),
-            "tbias": _dense(jax.random.fold_in(key, 102), 128, b2),
-        },
-        "up0": {
-            "block": _conv_block(jax.random.fold_in(key, 103), b2 + b1, b1, double=False),
-            "tbias": _dense(jax.random.fold_in(key, 104), 128, b1),
-        },
-        "final": _conv(jax.random.fold_in(key, 105), 1, 1, b1, 1, bias=False),
+            "dense1": _dense(jax.random.fold_in(key, 1), time_dim, 256),
+            "dense2": _dense(jax.random.fold_in(key, 2), 256, 128),
+        }
     }
+    cin = in_channels
+    for i in range(levels):  # down1..downL
+        c = chans[i]
+        params[f"down{i + 1}"] = {
+            "block": _conv_block(jax.random.fold_in(key, 10 + i), cin, c),
+            "tbias": _dense(jax.random.fold_in(key, 30 + i), 128, c),
+        }
+        cin = c
+    cb = chans[levels]
+    params["mid"] = {
+        "block": _conv_block(jax.random.fold_in(key, 50), cin, cb),
+        "tbias": _dense(jax.random.fold_in(key, 51), 128, cb),
+    }
+    # up{levels-1} .. up0; up0 is a single conv+GN+swish (shared.jl:266-269)
+    c_above = cb
+    for i in range(levels - 1, -1, -1):
+        skip_c = chans[i]
+        params[f"up{i}"] = {
+            "block": _conv_block(
+                jax.random.fold_in(key, 70 + i), c_above + skip_c, skip_c, double=(i > 0)
+            ),
+            "tbias": _dense(jax.random.fold_in(key, 90 + i), 128, skip_c),
+        }
+        c_above = skip_c
+    params["final"] = _conv(jax.random.fold_in(key, 105), 1, 1, chans[0], 1, bias=False)
+    return params
 
 
 def _apply_block(p, x, *, groups=8, use_pallas=None):
@@ -125,9 +142,11 @@ def apply(
     tfeat = silu(jnp.dot(raw, t1["w"], preferred_element_type=jnp.float32) + t1["b"])
     tfeat = jnp.dot(tfeat, t2["w"], preferred_element_type=jnp.float32) + t2["b"]
 
+    levels = sum(1 for k in params if k.startswith("down"))
     skips = []
     h = x
-    for name in ("down1", "down2", "down3", "down4"):
+    for i in range(1, levels + 1):
+        name = f"down{i}"
         h = _apply_block(params[name]["block"], h, groups=groups, use_pallas=use_pallas)
         h = _add_time(params[name], h, tfeat)
         skips.append(h)
@@ -136,7 +155,8 @@ def apply(
     h = _apply_block(params["mid"]["block"], h, groups=groups, use_pallas=use_pallas)
     h = _add_time(params["mid"], h, tfeat)
 
-    for name, skip in zip(("up3", "up2", "up1", "up0"), reversed(skips)):
+    for i, skip in zip(range(levels - 1, -1, -1), reversed(skips)):
+        name = f"up{i}"
         h = upsample_bilinear_2x(h)
         h = jnp.concatenate([h, skip], axis=-1)
         h = _apply_block(params[name]["block"], h, groups=groups, use_pallas=use_pallas)

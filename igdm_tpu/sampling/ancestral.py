@@ -186,6 +186,49 @@ def _sample_fast_impl(
     return jnp.clip(x, -1.0, 1.0)
 
 
+def sample_ddpm_sharded(
+    params,
+    model_state,
+    key,
+    mesh,
+    *,
+    num_images: int,
+    image_size: tuple = (32, 32),
+    cfg: DiffusionConfig | None = None,
+    channels: int = 1,
+):
+    """Data-parallel batch generation: the sample batch is sharded over the
+    mesh's 'data' axis (params replicated); every chip runs its shard of the
+    lax.scan trajectory independently — zero collectives in the loop, so
+    throughput scales linearly with chips. The TPU-native realization of the
+    reference's ``generate_image(num_images=...)`` at scale.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = cfg or DiffusionConfig()
+    if num_images % mesh.devices.size:
+        raise ValueError(f"num_images={num_images} not divisible by mesh size {mesh.devices.size}")
+    repl = NamedSharding(mesh, P())
+    params = jax.device_put(params, repl)
+    model_state = jax.device_put(model_state, repl)
+    key = jax.device_put(key, repl)
+    alpha_bar = jax.device_put(_alpha_bar(cfg), repl)
+
+    batch_sh = NamedSharding(mesh, P("data"))
+    fn = jax.jit(
+        partial(
+            _sample_ddpm_impl.__wrapped__,  # un-jitted impl
+            num_images=num_images,
+            image_size=tuple(image_size),
+            num_steps=cfg.num_steps,
+            embed_dim=cfg.embed_dim,
+            channels=channels,
+        ),
+        out_shardings=batch_sh,
+    )
+    return fn(params, model_state, key, alpha_bar, None)
+
+
 def sample_ddim(
     params,
     model_state,

@@ -107,3 +107,21 @@ def test_unet4_reference_param_count_base80():
     params = unet4.init(jax.random.PRNGKey(0), base_ch=80)
     n = unet4.num_params(params)
     assert 45_000_000 < n < 55_000_000
+
+
+def test_unet4_configurable_levels():
+    """levels=3 covers the scale of the reference's dead build_unet
+    (3 levels, src/ImageGenerationDiffusionModels.jl:299-333)."""
+    for levels, size in [(2, 16), (3, 32), (4, 32)]:
+        params = unet4.init(jax.random.PRNGKey(0), base_ch=8, levels=levels)
+        assert f"down{levels}" in params and f"down{levels + 1}" not in params
+        out = unet4.apply(params, jnp.zeros((1, size, size, 1)), jnp.array([1]))
+        assert out.shape == (1, size, size, 1)
+
+
+def test_unet4_build_unet_scale():
+    # the dead build_unet is 94.6M params at base 128, 3 levels; ours at the
+    # same ladder lands in the same regime
+    params = unet4.init(jax.random.PRNGKey(0), base_ch=128, levels=3)
+    n = unet4.num_params(params)
+    assert 30_000_000 < n < 130_000_000

@@ -70,3 +70,32 @@ def test_data_parallel_epoch_matches_single_device():
     assert np.isfinite(loss_single) and np.isfinite(loss_sharded)
     # same math, different reduction orders: expect near-identical losses
     assert abs(loss_single - loss_sharded) < 1e-4
+
+
+def test_sharded_sampling_matches_unsharded():
+    from igdm_tpu.config import DiffusionConfig
+    from igdm_tpu.models import unet_small
+    from igdm_tpu.sampling.ancestral import sample_ddpm, sample_ddpm_sharded
+
+    params, state = unet_small.init(jax.random.PRNGKey(0))
+    cfg = DiffusionConfig(num_steps=5)
+    key = jax.random.PRNGKey(9)
+    mesh = make_mesh(8)
+    a = np.asarray(sample_ddpm(params, state, key, num_images=16, cfg=cfg))
+    b = np.asarray(
+        sample_ddpm_sharded(params, state, key, mesh, num_images=16, cfg=cfg)
+    )
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_sharded_sampling_rejects_indivisible_batch():
+    from igdm_tpu.config import DiffusionConfig
+    from igdm_tpu.models import unet_small
+    from igdm_tpu.sampling.ancestral import sample_ddpm_sharded
+
+    params, state = unet_small.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        sample_ddpm_sharded(
+            params, state, jax.random.PRNGKey(0), make_mesh(8),
+            num_images=10, cfg=DiffusionConfig(num_steps=5),
+        )
