@@ -33,21 +33,19 @@ def _sync(x):
 def bench_sampling(batch: int = 64, T: int = 500, iters: int = 3):
     from igdm_tpu.config import DiffusionConfig
     from igdm_tpu.models import unet_small
-    from igdm_tpu.sampling.ancestral import sample_ddpm
+    from igdm_tpu.sampling.ancestral import make_sampler
 
     cfg = DiffusionConfig(num_steps=T)
     params, state = unet_small.init(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(42)
+    # serving-style sampler: weights baked as XLA constants (~15% faster)
+    fn = make_sampler(params, state, cfg=cfg, num_images=batch)
 
-    # warmup/compile
-    _sync(sample_ddpm(params, state, key, num_images=batch, cfg=cfg))
+    _sync(fn(key))  # warmup/compile
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
-        out = sample_ddpm(
-            params, state, jax.random.fold_in(key, i), num_images=batch, cfg=cfg
-        )
-        _sync(out)
+        _sync(fn(jax.random.fold_in(key, i)))
         times.append(time.perf_counter() - t0)
     best = min(times)
     return batch / best, best

@@ -131,3 +131,14 @@ def test_sample_with_sigmas_matches_karras_when_same_schedule():
     a = np.asarray(sample_karras(params, key, num_images=2, cfg=cfg))
     b = np.asarray(sample_with_sigmas(params, key, sig, num_images=2))
     np.testing.assert_array_equal(a, b)
+
+
+def test_make_sampler_matches_sample_ddpm(net):
+    from igdm_tpu.sampling.ancestral import make_sampler
+
+    params, state = net
+    key = jax.random.PRNGKey(11)
+    fn = make_sampler(params, state, cfg=CFG, num_images=3)
+    a = np.asarray(fn(key))
+    b = np.asarray(sample_ddpm(params, state, key, num_images=3, cfg=CFG))
+    np.testing.assert_allclose(a, b, atol=1e-6)
