@@ -218,7 +218,9 @@ def make_sampler(
         def body(x, inputs):
             t, i = inputs
             t_emb = timestep_embedding(jnp.full((B,), t, jnp.float32), D)
-            eps_pred, _ = unet_small.apply(params, model_state, x, t_emb, train=False)
+            eps_pred, _ = unet_small.apply(
+                params, model_state, x, t_emb, train=False, decompose_time_conv=True
+            )
             noise = jax.random.normal(jax.random.fold_in(k_loop, i), x.shape, jnp.float32)
             return (
                 reverse_diffusion_step(

@@ -125,3 +125,14 @@ def test_unet4_build_unet_scale():
     params = unet4.init(jax.random.PRNGKey(0), base_ch=128, levels=3)
     n = unet4.num_params(params)
     assert 30_000_000 < n < 130_000_000
+
+
+def test_decomposed_time_conv_matches_concat_path():
+    """The spatially-constant conv1 decomposition must equal the concat conv
+    (within conv-precision rounding) for all border classes."""
+    params, state = unet_small.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1))
+    t_emb = timestep_embedding(jnp.array([2.0, 4.0]), 128)
+    a, _ = unet_small.apply(params, state, x, t_emb, train=False)
+    b, _ = unet_small.apply(params, state, x, t_emb, train=False, decompose_time_conv=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
