@@ -129,8 +129,12 @@ def build_epoch_fn(
         new_params = optax.apply_updates(st.params, updates)
         new_ema = st.ema_params
         if ema_decay > 0:
+            # ramped decay min(decay, (1+t)/(10+t)): without it a short run's
+            # EMA is still mostly the random init (0.999^680 = 0.51)
+            t = st.step.astype(jnp.float32) + 1.0
+            d = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
             new_ema = jax.tree_util.tree_map(
-                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, st.ema_params, new_params
+                lambda e, p: d * e + (1.0 - d) * p, st.ema_params, new_params
             )
         return (
             st.replace(
