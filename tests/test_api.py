@@ -95,3 +95,13 @@ def test_demo_runs():
     assert set(out) == {"grid", "noisy", "denoised", "generated"}
     for f in ("grid.png", "noisy_img.png", "denoised_img.png"):
         assert os.path.isfile(f)
+
+
+def test_julia_name_shim():
+    import ImageGenerationDiffusionModels as IGDM
+
+    assert IGDM.generate_grid is igdm_tpu.generate_grid
+    assert set(IGDM.__all__) >= {
+        "generate_grid", "apply_noise", "train", "denoise_image", "generate_image",
+        "train_brain", "generate_image_from_noise",
+    }
