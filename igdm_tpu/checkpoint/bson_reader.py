@@ -170,6 +170,9 @@ def load_bson(path: str) -> dict:
     """Load a BSON.jl file into Python objects (JuliaStruct / numpy / scalars)."""
     with open(path, "rb") as fh:
         buf = fh.read()
-    doc, _ = _parse_document(buf, 0)
+    try:
+        doc, _ = _parse_document(buf, 0)
+    except (ValueError, IndexError, struct.error) as e:
+        raise ValueError(f"{path!r} is not a parseable BSON file: {e}") from e
     resolver = _Resolver(doc.get("_backrefs", []))
     return {k: resolver.resolve(v) for k, v in doc.items() if k != "_backrefs"}
