@@ -26,6 +26,7 @@ class DiffusionConfig:
     beta_min: float = 1e-4
     beta_max: float = 0.02
     embed_dim: int = 128  # D, sinusoidal timestep embedding width
+    schedule: str = "linear"  # "linear" (reference) | "cosine" (improved DDPM)
 
 
 @dataclass(frozen=True)

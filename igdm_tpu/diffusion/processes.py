@@ -85,6 +85,26 @@ def reverse_diffusion_step(x_t, eps_pred, noise, alpha_bar_t, alpha_bar_prev, *,
     return jnp.where(use_noise, x_prev, pred_x0)
 
 
+def ddpm_posterior_step(x_t, eps_pred, noise, beta_t, alpha_bar_t, alpha_bar_prev, *, clip_x0=True):
+    """Textbook DDPM ancestral step (Ho et al. 2020, eq. 6-7) — the correct
+    posterior the reference's sampler approximates away
+    (src/generate_images.jl:202 collapses to beta_prev).
+
+    mean = sqrt(ab_prev)*beta_t/(1-ab_t) * x0_hat
+         + sqrt(alpha_t)*(1-ab_prev)/(1-ab_t) * x_t
+    var  = beta_t * (1-ab_prev)/(1-ab_t)
+    """
+    alpha_t = 1.0 - beta_t
+    pred_x0 = (x_t - jnp.sqrt(1.0 - alpha_bar_t) * eps_pred) / jnp.sqrt(alpha_bar_t)
+    if clip_x0:
+        pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+    coef_x0 = jnp.sqrt(alpha_bar_prev) * beta_t / (1.0 - alpha_bar_t)
+    coef_xt = jnp.sqrt(alpha_t) * (1.0 - alpha_bar_prev) / (1.0 - alpha_bar_t)
+    mean = coef_x0 * pred_x0 + coef_xt * x_t
+    var = beta_t * (1.0 - alpha_bar_prev) / (1.0 - alpha_bar_t)
+    return mean + jnp.sqrt(jnp.maximum(var, 0.0)) * noise
+
+
 def ddim_step(x_t, eps_pred, alpha_bar_t, alpha_bar_prev, *, eta: float = 0.0, noise=None):
     """Deterministic (eta=0) or stochastic DDIM update — the fast sampler the
     reference lacks; standard DDIM algebra (Song et al. 2020)."""

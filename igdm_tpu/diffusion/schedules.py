@@ -31,6 +31,13 @@ def sigma_from_alpha_bar(alpha_bar: np.ndarray) -> np.ndarray:
     return np.sqrt(1.0 - np.asarray(alpha_bar, dtype=np.float64))
 
 
+def betas_for_config(cfg) -> np.ndarray:
+    """Betas for a DiffusionConfig: linear (reference) or cosine."""
+    if getattr(cfg, "schedule", "linear") == "cosine":
+        return cosine_beta_schedule(cfg.num_steps)
+    return linear_beta_schedule(cfg.num_steps, cfg.beta_min, cfg.beta_max)
+
+
 def reference_noise_schedule(
     num_noise_steps: int = 500, beta_min: float = 1e-4, beta_max: float = 0.02
 ) -> np.ndarray:
@@ -45,6 +52,17 @@ def reference_noise_schedule(
     # Julia StepRangeLen includes every k with beta_min + k*step <= beta_max.
     n = int(np.floor((beta_max - beta_min) / step + 1e-9)) + 1
     return beta_min + step * np.arange(n, dtype=np.float64)
+
+
+def cosine_beta_schedule(num_steps: int, s: float = 0.008, max_beta: float = 0.999) -> np.ndarray:
+    """Cosine schedule (Nickel & Dhariwal, "Improved DDPM", arXiv:2102.09672)
+    — listed in PAPERS.md; not present in the reference. Much better SNR
+    distribution than linear betas for image DDPMs."""
+    t = np.arange(num_steps + 1, dtype=np.float64) / num_steps
+    f = np.cos((t + s) / (1 + s) * np.pi / 2) ** 2
+    alpha_bar = f / f[0]
+    betas = 1.0 - alpha_bar[1:] / alpha_bar[:-1]
+    return np.clip(betas, 0.0, max_beta)
 
 
 def karras_sigma_schedule(

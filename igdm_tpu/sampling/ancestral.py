@@ -235,6 +235,55 @@ def make_sampler(
     return fn
 
 
+def make_textbook_sampler(
+    params,
+    model_state,
+    *,
+    cfg: DiffusionConfig | None = None,
+    num_images: int = 16,
+    image_size: tuple = (32, 32),
+    channels: int = 1,
+    model_kind: str = "unet_small",
+):
+    """Textbook DDPM ancestral sampler (Ho et al. posterior — see
+    diffusion.processes.ddpm_posterior_step), baked weights, full T..1 loop
+    with no noise at the final step. The correctness upgrade over the
+    reference's simplified sampler; works with either noise-predictor family
+    and either beta schedule (DiffusionConfig.schedule)."""
+    from igdm_tpu.diffusion.processes import ddpm_posterior_step
+    from igdm_tpu.diffusion.schedules import betas_for_config
+    from igdm_tpu.training.ddpm import make_apply_fn
+
+    cfg = cfg or DiffusionConfig()
+    betas = jnp.asarray(betas_for_config(cfg), jnp.float32)
+    alpha_bar = jnp.asarray(alphas_cumprod(betas_for_config(cfg)), jnp.float32)
+    ab_ext = jnp.concatenate([jnp.ones((1,), jnp.float32), alpha_bar])  # ab_ext[t], t in 0..T
+    apply_fn = make_apply_fn(model_kind, cfg.embed_dim)
+    h, w = image_size
+    T, B = cfg.num_steps, num_images
+
+    @jax.jit
+    def fn(key):
+        k_init, k_loop = jax.random.split(key)
+        x = jax.random.normal(k_init, (B, h, w, channels), jnp.float32)
+        t_vals = jnp.arange(T, 0, -1)  # T .. 1
+
+        def body(x, inputs):
+            t, i = inputs
+            eps_pred, _ = apply_fn(params, model_state, x, jnp.full((B,), t), False)
+            z = jax.random.normal(jax.random.fold_in(k_loop, i), x.shape, jnp.float32)
+            z = jnp.where(t > 1, z, jnp.zeros_like(z))  # no noise at the last step
+            x = ddpm_posterior_step(
+                x, eps_pred, z, betas[t - 1], ab_ext[t], ab_ext[t - 1]
+            )
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, (t_vals, jnp.arange(T)))
+        return jnp.clip(x, -1.0, 1.0)
+
+    return fn
+
+
 def sample_ddpm_sharded(
     params,
     model_state,

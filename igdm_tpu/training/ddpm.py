@@ -29,10 +29,29 @@ import numpy as np
 import optax
 
 from igdm_tpu.config import DiffusionConfig, TrainConfig
-from igdm_tpu.diffusion.schedules import alphas_cumprod, linear_beta_schedule
-from igdm_tpu.models import unet_small
+from igdm_tpu.diffusion.schedules import alphas_cumprod, betas_for_config
+from igdm_tpu.models import unet4, unet_small
 from igdm_tpu.models.embeddings import timestep_embedding
 from igdm_tpu.training.train_state import TrainState
+
+
+def make_apply_fn(model_kind: str, embed_dim: int = 128):
+    """Adapter giving every noise predictor the same signature:
+    (params, model_state, x_t, ts, train) -> (eps_pred, new_model_state)."""
+    if model_kind == "unet4":
+
+        def apply_fn(params, model_state, x_t, ts, train):
+            return unet4.apply(params, x_t, ts, final_sigmoid=False), model_state
+
+        return apply_fn
+
+    def apply_fn(params, model_state, x_t, ts, train):
+        t_emb = timestep_embedding(ts.astype(jnp.float32), embed_dim)
+        return unet_small.apply(
+            params, model_state, x_t, t_emb, train=train, decompose_time_conv=True
+        )
+
+    return apply_fn
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -48,9 +67,17 @@ def init_train_state(
     channels: int = 1,
     *,
     mid_attn: bool = False,
+    model_kind: str = "unet_small",
+    base_ch: int = 64,
 ):
     kp, kr = jax.random.split(key)
-    params, model_state = unet_small.init(kp, channels, diff_cfg.embed_dim, mid_attn=mid_attn)
+    if model_kind == "unet4":
+        params = unet4.init(kp, in_channels=channels, base_ch=base_ch)
+        model_state = {}
+    else:
+        params, model_state = unet_small.init(
+            kp, channels, diff_cfg.embed_dim, mid_attn=mid_attn
+        )
     tx = make_optimizer(train_cfg)
     ema = jax.tree_util.tree_map(jnp.array, params) if train_cfg.ema_decay > 0 else None
     return (
@@ -66,20 +93,18 @@ def init_train_state(
     )
 
 
-def ddpm_loss(params, model_state, x0, ts, eps, mask, alpha_bar, embed_dim):
+def ddpm_loss(params, model_state, x0, ts, eps, mask, alpha_bar, embed_dim, apply_fn=None):
     """Masked-mean epsilon-prediction MSE (src/train_brain.jl:225-241).
 
     ``ts`` uses the reference's 1-based convention {1..T}: alpha_bar is
     indexed at ts-1 and the embedding sees the raw ts value — matching what
     the reference model saw during training (src/train_brain.jl:227-236).
     """
+    if apply_fn is None:
+        apply_fn = make_apply_fn("unet_small", embed_dim)
     ab = alpha_bar[ts - 1].reshape(-1, 1, 1, 1)
     x_t = jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * eps
-    t_emb = timestep_embedding(ts.astype(jnp.float32), embed_dim)
-    # decompose_time_conv: exact, measured ~8% faster per training step
-    eps_pred, new_state = unet_small.apply(
-        params, model_state, x_t, t_emb, train=True, decompose_time_conv=True
-    )
+    eps_pred, new_state = apply_fn(params, model_state, x_t, ts, True)
     per_ex = jnp.mean(jnp.square(eps_pred - eps), axis=(1, 2, 3))
     loss = jnp.sum(per_ex * mask) / jnp.maximum(jnp.sum(mask), 1.0)
     return loss, new_state
@@ -93,6 +118,7 @@ def build_epoch_fn(
     *,
     use_scan: bool | None = None,
     ema_decay: float = 0.0,
+    model_kind: str = "unet_small",
 ) -> Callable:
     """Compile one full epoch of training.
 
@@ -104,13 +130,11 @@ def build_epoch_fn(
     same way (epoch key from state.step at entry; per-batch fold_in(key, b+1))
     so they compute identical numbers.
     """
-    alpha_bar = jnp.asarray(
-        alphas_cumprod(linear_beta_schedule(diff_cfg.num_steps, diff_cfg.beta_min, diff_cfg.beta_max)),
-        jnp.float32,
-    )
+    alpha_bar = jnp.asarray(alphas_cumprod(betas_for_config(diff_cfg)), jnp.float32)
     n_batches = -(-n_images // batch_size)
     T = diff_cfg.num_steps
     D = diff_cfg.embed_dim
+    apply_fn = make_apply_fn(model_kind, D)
     if use_scan is None:
         use_scan = jax.default_backend() != "cpu"
 
@@ -126,7 +150,7 @@ def build_epoch_fn(
         ts = jax.random.randint(k_t, (batch_size,), 1, T + 1)  # 1-based {1..T}
         eps = jax.random.normal(k_eps, x0.shape, jnp.float32)
         (loss, new_mstate), grads = grad_fn(
-            st.params, st.model_state, x0, ts, eps, mask, alpha_bar, D
+            st.params, st.model_state, x0, ts, eps, mask, alpha_bar, D, apply_fn
         )
         updates, new_opt = tx.update(grads, st.opt_state, st.params)
         new_params = optax.apply_updates(st.params, updates)
@@ -203,6 +227,8 @@ def train_ddpm(
     save_final: str | None = "trained_model",
     resume_from: str | None = None,
     mid_attn: bool = False,
+    model_kind: str = "unet_small",
+    base_ch: int = 64,
     log: Callable[[str], None] | None = print,
 ) -> TrainResult:
     """Full training loop with early stopping and periodic checkpoints.
@@ -223,12 +249,14 @@ def train_ddpm(
 
     key = jax.random.PRNGKey(train_cfg.seed)
     state, tx = init_train_state(
-        key, diff_cfg, train_cfg, channels=imgs.shape[-1], mid_attn=mid_attn
+        key, diff_cfg, train_cfg, channels=imgs.shape[-1], mid_attn=mid_attn,
+        model_kind=model_kind, base_ch=base_ch,
     )
     data_meta = {
         "channels": int(imgs.shape[-1]),
         "image_size": [int(imgs.shape[1]), int(imgs.shape[2])],
         "mid_attn": mid_attn,
+        "base_ch": base_ch,
     }
 
     start_epoch = 0
@@ -246,7 +274,8 @@ def train_ddpm(
             log(f"Resumed from {resume_from} at epoch {start_epoch} (step {int(state.step)})")
 
     epoch_fn = build_epoch_fn(
-        tx, diff_cfg, train_cfg.batch_size, n, ema_decay=train_cfg.ema_decay
+        tx, diff_cfg, train_cfg.batch_size, n, ema_decay=train_cfg.ema_decay,
+        model_kind=model_kind,
     )
 
     imgs_dev = jnp.asarray(imgs, jnp.float32)
@@ -291,7 +320,7 @@ def train_ddpm(
             path = os.path.join(out_dir, f"{checkpoint_prefix}_{epoch}.npz")
             save_checkpoint(
                 path, state, diff_cfg=diff_cfg, train_cfg=train_cfg, epoch=epoch,
-                model="unet_small", data=data_meta,
+                model=model_kind, data=data_meta,
                 early_stop={"best": best, "no_improve": no_improve},
                 losses=result.losses,
             )
@@ -303,7 +332,7 @@ def train_ddpm(
         path = os.path.join(out_dir, f"{save_final}.npz")
         save_checkpoint(
             path, result.state, diff_cfg=diff_cfg, train_cfg=train_cfg,
-            epoch=result.epochs_run, model="unet_small", data=data_meta,
+            epoch=result.epochs_run, model=model_kind, data=data_meta,
             early_stop={"best": best, "no_improve": no_improve},
             losses=result.losses,
         )

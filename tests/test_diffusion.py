@@ -136,3 +136,40 @@ def test_karras_reverse_step_floor():
     x = jnp.ones((1, 2, 2, 1))
     out = karras_reverse_step(x, jnp.zeros_like(x), jnp.zeros_like(x), jnp.asarray(1.0))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cosine_beta_schedule():
+    from igdm_tpu.diffusion.schedules import alphas_cumprod, cosine_beta_schedule
+
+    b = cosine_beta_schedule(500)
+    assert b.shape == (500,)
+    assert (b > 0).all() and (b <= 0.999).all()
+    ab = alphas_cumprod(b)
+    assert np.all(np.diff(ab) < 0)
+    assert ab[-1] < 1e-3  # cosine schedule fully noises by T
+
+
+def test_ddpm_posterior_step_perfect_model_recovers_x0_at_t1():
+    from igdm_tpu.diffusion.processes import ddpm_posterior_step
+
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.uniform(key, (2, 8, 8, 1), minval=-0.9, maxval=0.9)
+    eps = jax.random.normal(jax.random.fold_in(key, 1), x0.shape)
+    beta_1, ab_1 = 1e-4, 1.0 - 1e-4
+    x_1 = q_sample(x0, eps, ab_1)
+    out = ddpm_posterior_step(x_1, eps, jnp.zeros_like(x0), beta_1, ab_1, 1.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-3)
+
+
+def test_ddpm_posterior_variance_below_reference_variance():
+    """The reference's simplified sampler re-noises with var = 1-ab_prev,
+    the textbook posterior with beta_t*(1-ab_prev)/(1-ab_t) — strictly less
+    noisy at every mid-trajectory step."""
+    from igdm_tpu.diffusion.schedules import alphas_cumprod, linear_beta_schedule
+
+    betas = linear_beta_schedule(500)
+    ab = alphas_cumprod(betas)
+    t = 250
+    ref_var = 1 - ab[t - 2]
+    textbook_var = betas[t - 1] * (1 - ab[t - 2]) / (1 - ab[t - 1])
+    assert textbook_var < ref_var * 0.05
