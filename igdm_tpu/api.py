@@ -196,17 +196,11 @@ def generate_image(
         return np.stack(outs)
 
     if isinstance(model, (str, os.PathLike)):
-        from igdm_tpu.checkpoint.pytree_io import load_checkpoint
-        from igdm_tpu.training.ddpm import init_train_state
+        # any checkpoint (.npz or reference .bson): metadata-driven dispatch
+        from igdm_tpu.sampling.auto import sample_from_checkpoint
 
-        cfg = cfg or DiffusionConfig()
-        template, _ = init_train_state(jax.random.PRNGKey(0), cfg, TrainConfig())
-        state, meta = load_checkpoint(str(model), template)
-        if "diff_cfg" in meta:
-            from igdm_tpu.config import config_from_dict
-
-            cfg = config_from_dict(DiffusionConfig, meta["diff_cfg"])
-        model = (state.params, state.model_state)
+        imgs01, _ = sample_from_checkpoint(str(model), key, num_images=num_images)
+        return imgs01 if rescale else imgs01 * 2.0 - 1.0
 
     from igdm_tpu.sampling.ancestral import sample_ddpm
 

@@ -41,6 +41,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="64 upscales the 32x32 source 2x (stretch config)",
     )
     p.add_argument("--mid-attn", action="store_true", help="bottleneck self-attention (stretch)")
+    p.add_argument(
+        "--schedule", choices=["linear", "cosine"], default="linear",
+        help="beta schedule for --model ddpm (cosine = Improved-DDPM quality recipe)",
+    )
+    p.add_argument(
+        "--backbone", choices=["unet_small", "unet4"], default="unet_small",
+        help="noise predictor for --model ddpm (unet4+cosine+ema is the quality recipe)",
+    )
+    p.add_argument("--ema-decay", type=float, default=0.0, help="EMA of weights (0 disables; 0.999 typical)")
     return p
 
 
@@ -110,7 +119,7 @@ def main(argv=None) -> int:
             from igdm_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh(args.n_devices)
-        diff_cfg = DiffusionConfig(num_steps=args.timesteps or 500)
+        diff_cfg = DiffusionConfig(num_steps=args.timesteps or 500, schedule=args.schedule)
         train_cfg = TrainConfig(
             batch_size=args.batch_size or 64,
             epochs=args.epochs,
@@ -119,10 +128,12 @@ def main(argv=None) -> int:
             min_delta=args.min_delta,
             checkpoint_every=args.checkpoint_every or 5,
             seed=args.seed,
+            ema_decay=args.ema_decay,
         )
         res = train_ddpm(
             normalize_pm1(imgs), diff_cfg, train_cfg, mesh=mesh, out_dir=args.out_dir,
-            resume_from=args.resume, mid_attn=args.mid_attn, log=print,
+            resume_from=args.resume, mid_attn=args.mid_attn,
+            model_kind=args.backbone, base_ch=args.base_ch or 64, log=print,
         )
         for i, l in enumerate(res.losses):
             metrics.log(i + 1, loss=l)

@@ -1,0 +1,110 @@
+"""Checkpoint-aware sampling: read a checkpoint's metadata and dispatch to
+the right model family, schedule, and sampler. One entry point shared by the
+CLI and the public API so a user can sample any igdm_tpu checkpoint (or a
+reference .bson) without knowing how it was trained.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from igdm_tpu.config import DiffusionConfig, config_from_dict
+
+
+def sample_from_checkpoint(
+    path: str,
+    key,
+    *,
+    num_images: int = 16,
+    sampler: str = "auto",  # auto | ancestral | ddim | textbook
+    ddim_steps: int = 50,
+    timesteps: int | None = None,
+    prefer_ema: bool = False,
+):
+    """Load any checkpoint and sample from it.
+
+    Returns (images01 ndarray (N,H,W[,C]) scaled to [0,1], info dict).
+
+    Dispatch rules:
+      * .bson -> reference SimpleUNet import, T=5 (the committed config),
+        reference-exact ancestral sampler.
+      * modern (gen-3) checkpoints (meta has modern_cfg) -> sigma-schedule
+        sampler with the TRAINING schedule and stored mu/sigma.
+      * DDPM checkpoints -> schedule/model read from metadata; 'auto' picks
+        the reference-exact ancestral sampler for unet_small and the textbook
+        posterior sampler for unet4.
+    """
+    if str(path).endswith(".bson"):
+        from igdm_tpu.checkpoint.bson_import import import_simple_unet
+        from igdm_tpu.sampling.ancestral import sample_ddpm
+
+        params, state, meta = import_simple_unet(str(path))
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        state = jax.tree_util.tree_map(jnp.asarray, state)
+        cfg = DiffusionConfig(num_steps=timesteps or 5)
+        out = sample_ddpm(params, state, key, num_images=num_images, cfg=cfg)
+        imgs01 = (np.asarray(out)[..., 0] + 1.0) / 2.0
+        return imgs01, {"model": "unet_small(bson)", "T": cfg.num_steps, "sampler": "ancestral"}
+
+    from igdm_tpu.checkpoint.pytree_io import load_for_sampling
+
+    params, state, meta = load_for_sampling(str(path), prefer_ema=prefer_ema)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    state = jax.tree_util.tree_map(jnp.asarray, state)
+    model_kind = meta.get("model", "unet_small")
+
+    if "modern_cfg" in meta:  # gen-3 recipe: sample with its training schedule
+        from igdm_tpu.sampling.ancestral import sample_with_sigmas
+        from igdm_tpu.training.modern import ModernTrainConfig, sigma_schedule
+
+        cfg4 = config_from_dict(ModernTrainConfig, meta.get("modern_cfg", {}))
+        norm = meta.get("norm", {})
+        out = sample_with_sigmas(
+            params, key, sigma_schedule(cfg4), num_images=num_images,
+            mu=norm.get("mu", 0.0), sigma=norm.get("sigma", 1.0),
+            final_sigmoid=cfg4.final_sigmoid,
+        )
+        imgs01 = np.clip(np.asarray(out)[..., 0], 0.0, 1.0)
+        return imgs01, {"model": "unet4(modern)", "T": cfg4.num_steps, "sampler": "sigma"}
+
+    cfg = config_from_dict(DiffusionConfig, meta.get("diff_cfg", {}))
+    if timesteps:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, num_steps=timesteps)
+    data_meta = meta.get("data", {})
+    channels = int(data_meta.get("channels", 1))
+    image_size = tuple(data_meta.get("image_size", (32, 32)))
+
+    if sampler == "auto":
+        sampler = "textbook" if model_kind == "unet4" else "ancestral"
+
+    if sampler == "ddim" and model_kind == "unet_small":
+        from igdm_tpu.sampling.ancestral import sample_ddim
+
+        out = sample_ddim(
+            params, state, key, num_images=num_images, cfg=cfg,
+            num_sample_steps=ddim_steps, channels=channels, image_size=image_size,
+        )
+    elif sampler == "ancestral" and model_kind == "unet_small":
+        from igdm_tpu.sampling.ancestral import sample_ddpm
+
+        out = sample_ddpm(
+            params, state, key, num_images=num_images, cfg=cfg,
+            channels=channels, image_size=image_size,
+        )
+    else:  # textbook posterior works for both families
+        from igdm_tpu.sampling.ancestral import make_textbook_sampler
+
+        fn = make_textbook_sampler(
+            params, state, cfg=cfg, num_images=num_images,
+            image_size=image_size, channels=channels, model_kind=model_kind,
+        )
+        out = fn(key)
+        sampler = "textbook"
+
+    arr = np.asarray(out)
+    imgs01 = (arr[..., 0] + 1.0) / 2.0 if channels == 1 else (arr + 1.0) / 2.0
+    return imgs01, {"model": model_kind, "T": cfg.num_steps, "sampler": sampler}

@@ -225,3 +225,44 @@ def test_cli_sample_from_reference_bson(tmp_path, monkeypatch):
     )
     assert rc == 0
     assert (tmp_path / "s.png").is_file()
+
+
+def test_cli_quality_recipe_and_auto_sampler(tmp_path, monkeypatch):
+    """End-to-end: unet4 backbone through the DDPM trainer with cosine
+    schedule + EMA, sampled via the metadata-driven auto dispatcher."""
+    from igdm_tpu.cli.sample import main as sample_main
+    from igdm_tpu.cli.train import main as train_main
+
+    monkeypatch.chdir(tmp_path)
+    rc = train_main(
+        [
+            "--model", "ddpm", "--backbone", "unet4", "--base-ch", "8",
+            "--schedule", "cosine", "--ema-decay", "0.99",
+            "--epochs", "1", "--timesteps", "5", "--batch-size", "100",
+            "--out-dir", str(tmp_path), "--checkpoint-every", "0",
+        ]
+    )
+    assert rc == 0
+    ckpt = tmp_path / "trained_model.npz"
+    rc = sample_main([str(ckpt), "2", "--ema", "--out", str(tmp_path / "q.png")])
+    assert rc == 0
+    assert (tmp_path / "q.png").is_file()
+
+
+def test_auto_sampler_dispatch(tmp_path):
+    from igdm_tpu.sampling.auto import sample_from_checkpoint
+    from igdm_tpu.training.ddpm import train_ddpm
+    import jax
+
+    rng = np.random.default_rng(5)
+    imgs = rng.standard_normal((16, 32, 32, 1)).astype(np.float32)
+    train_ddpm(
+        imgs, DiffusionConfig(num_steps=5, schedule="cosine"),
+        TrainConfig(batch_size=8, epochs=1, patience=50, checkpoint_every=0),
+        out_dir=str(tmp_path), log=None,
+    )
+    out, info = sample_from_checkpoint(
+        str(tmp_path / "trained_model.npz"), jax.random.PRNGKey(0), num_images=2
+    )
+    assert out.shape == (2, 32, 32)
+    assert info["model"] == "unet_small" and info["T"] == 5
