@@ -27,3 +27,29 @@ def test_assert_finite_noop_when_disabled(monkeypatch):
     x = jnp.asarray([np.nan])
     out = assert_finite(x, "x")  # disabled: passes through
     assert np.isnan(np.asarray(out)).all()
+
+
+def test_profile_trace_writes_files(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from igdm_tpu.utils.prof import profile_trace, timed
+
+    f = jax.jit(lambda x: x * 2 + 1)
+    with profile_trace(str(tmp_path)):
+        np_ = f(jnp.ones((8, 8)))
+        np_.block_until_ready()
+    import glob
+
+    assert glob.glob(str(tmp_path / "plugins" / "profile" / "*" / "*"))
+
+
+def test_timed_returns_sane_values():
+    import jax
+    import jax.numpy as jnp
+
+    from igdm_tpu.utils.prof import timed
+
+    best, mean, result = timed(jax.jit(lambda x: x + 1), jnp.zeros((4,)), iters=2)
+    assert 0 < best <= mean
+    assert result.shape == (4,)
