@@ -23,18 +23,16 @@ from igdm_tpu.config import DiffusionConfig, KarrasConfig
 from igdm_tpu.diffusion.processes import ddim_step, karras_reverse_step, reverse_diffusion_step
 from igdm_tpu.diffusion.schedules import (
     alphas_cumprod,
+    betas_for_config,
     karras_sigma_schedule,
-    linear_beta_schedule,
 )
 from igdm_tpu.models import unet_small, unet4
 from igdm_tpu.models.embeddings import timestep_embedding
 
 
 def _alpha_bar(cfg: DiffusionConfig) -> jnp.ndarray:
-    return jnp.asarray(
-        alphas_cumprod(linear_beta_schedule(cfg.num_steps, cfg.beta_min, cfg.beta_max)),
-        jnp.float32,
-    )
+    """alpha_bar table honoring cfg.schedule (linear or cosine)."""
+    return jnp.asarray(alphas_cumprod(betas_for_config(cfg)), jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("num_images", "image_size", "num_steps", "embed_dim", "channels"))
@@ -338,6 +336,7 @@ def sample_ddim(
     num_sample_steps: int = 50,
     eta: float = 0.0,
     channels: int = 1,
+    model_kind: str = "unet_small",
 ):
     """Fast DDIM sampling over a strided timestep subset — the accelerated
     sampler the reference lacks (BASELINE.json stretch config)."""
@@ -350,15 +349,21 @@ def sample_ddim(
         params, model_state, key, alpha_bar,
         jnp.asarray(ts.copy()), jnp.asarray(ts_prev.copy()),
         num_images=num_images, image_size=tuple(image_size),
-        embed_dim=cfg.embed_dim, eta=eta, channels=channels,
+        embed_dim=cfg.embed_dim, eta=eta, channels=channels, model_kind=model_kind,
     )
 
 
-@partial(jax.jit, static_argnames=("num_images", "image_size", "embed_dim", "eta", "channels"))
+@partial(
+    jax.jit,
+    static_argnames=("num_images", "image_size", "embed_dim", "eta", "channels", "model_kind"),
+)
 def _sample_ddim_impl(
     params, model_state, key, alpha_bar, ts, ts_prev,
-    *, num_images, image_size, embed_dim, eta, channels=1,
+    *, num_images, image_size, embed_dim, eta, channels=1, model_kind="unet_small",
 ):
+    from igdm_tpu.training.ddpm import make_apply_fn
+
+    apply_fn = make_apply_fn(model_kind, embed_dim)
     h, w = image_size
     k_init, k_loop = jax.random.split(key)
     x = jax.random.normal(k_init, (num_images, h, w, channels), jnp.float32)
@@ -366,8 +371,7 @@ def _sample_ddim_impl(
 
     def body(x, inputs):
         t, t_prev, i = inputs
-        t_emb = timestep_embedding(jnp.full((num_images,), t, jnp.float32), embed_dim)
-        eps_pred, _ = unet_small.apply(params, model_state, x, t_emb, train=False)
+        eps_pred, _ = apply_fn(params, model_state, x, jnp.full((num_images,), t), False)
         noise = (
             jax.random.normal(jax.random.fold_in(k_loop, i), x.shape, jnp.float32)
             if eta > 0
