@@ -106,7 +106,14 @@ def denoise_image(
     output; input is flattened column-major).
     """
     params = params or _mlp_params()
-    x = mlp.flatten_image(jnp.asarray(noisy_img, jnp.float32))
+    noisy_img = jnp.asarray(noisy_img, jnp.float32)
+    if noisy_img.shape != (32, 32):
+        raise ValueError(
+            f"denoise_image expects a 32x32 image (the MLP denoiser is fixed-size, "
+            f"like the reference src/ImageGenerationDiffusionModels.jl:90-98); "
+            f"got {noisy_img.shape}"
+        )
+    x = mlp.flatten_image(noisy_img)
     y = mlp.apply(params, x)
     out = jnp.clip(mlp.unflatten_image(y[0]), 0.0, 1.0)
     out_np = np.asarray(out)

@@ -105,3 +105,8 @@ def test_julia_name_shim():
         "generate_grid", "apply_noise", "train", "denoise_image", "generate_image",
         "train_brain", "generate_image_from_noise",
     }
+
+
+def test_denoise_image_rejects_wrong_size():
+    with pytest.raises(ValueError, match="32x32"):
+        igdm_tpu.denoise_image(np.zeros((64, 64), np.float32))

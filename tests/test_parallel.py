@@ -99,3 +99,24 @@ def test_sharded_sampling_rejects_indivisible_batch():
             params, state, jax.random.PRNGKey(0), make_mesh(8),
             num_images=10, cfg=DiffusionConfig(num_steps=5),
         )
+
+
+def test_train_ddpm_full_loop_on_mesh(tmp_path):
+    """The complete training loop (epochs, checkpoints, early-stop counters)
+    over a data-parallel mesh."""
+    from igdm_tpu.config import DiffusionConfig, TrainConfig
+    from igdm_tpu.training.ddpm import train_ddpm
+
+    rng = np.random.default_rng(7)
+    imgs = rng.standard_normal((32, 32, 32, 1)).astype(np.float32)
+    res = train_ddpm(
+        imgs,
+        DiffusionConfig(num_steps=5),
+        TrainConfig(batch_size=16, epochs=2, patience=50, checkpoint_every=0),
+        mesh=make_mesh(8),
+        out_dir=str(tmp_path),
+        log=None,
+    )
+    assert res.epochs_run == 2
+    assert all(np.isfinite(l) for l in res.losses)
+    assert (tmp_path / "trained_model.npz").is_file()
