@@ -110,3 +110,15 @@ def test_julia_name_shim():
 def test_denoise_image_rejects_wrong_size():
     with pytest.raises(ValueError, match="32x32"):
         igdm_tpu.denoise_image(np.zeros((64, 64), np.float32))
+
+
+def test_train_accepts_mat_path(tmp_path, monkeypatch):
+    # README usage: train("SyntheticImages500.mat") (README.md:66)
+    import shutil
+
+    from igdm_tpu.data.mat import dataset_path
+
+    local = tmp_path / "SyntheticImages500.mat"
+    shutil.copy(dataset_path(), local)
+    losses = igdm_tpu.train(str(local), 1e-3, 1, 10, 0.0)
+    assert len(losses) == 1 and np.isfinite(losses[0])

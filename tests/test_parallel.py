@@ -120,3 +120,28 @@ def test_train_ddpm_full_loop_on_mesh(tmp_path):
     assert res.epochs_run == 2
     assert all(np.isfinite(l) for l in res.losses)
     assert (tmp_path / "trained_model.npz").is_file()
+
+
+def test_tensor_parallel_forward_matches_replicated():
+    """Channel-sharded (TP) U-Net forward over a data x model mesh must equal
+    the replicated forward — XLA inserts the collectives."""
+    from igdm_tpu.models import unet_small
+    from igdm_tpu.models.embeddings import timestep_embedding
+    from igdm_tpu.parallel.tp import shard_params_tp
+
+    mesh = make_mesh(8, model_parallel=4)
+    params, state = unet_small.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 1))
+    t_emb = timestep_embedding(jnp.arange(1.0, 5.0), 128)
+
+    want, _ = unet_small.apply(params, state, x, t_emb, train=False)
+
+    params_tp = shard_params_tp(mesh, params)
+    state_tp = shard_params_tp(mesh, state)
+    got, _ = jax.jit(lambda p, s, x, t: unet_small.apply(p, s, x, t, train=False))(
+        params_tp, state_tp, x, t_emb
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+    # weights really are sharded
+    w = params_tp["down1"]["conv1"]["w"]
+    assert not w.sharding.is_fully_replicated
