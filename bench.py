@@ -51,7 +51,7 @@ def bench_sampling(batch: int = 64, T: int = 500, iters: int = 3):
     return batch / best, best
 
 
-def bench_train_step(batch: int = 64, T: int = 500, iters: int = 5):
+def bench_train_step(batch: int = 64, T: int = 500, iters: int = 5, n_images: int = 512):
     from igdm_tpu.config import DiffusionConfig, TrainConfig
     from igdm_tpu.diffusion.schedules import alphas_cumprod, linear_beta_schedule
     from igdm_tpu.training.ddpm import build_epoch_fn, init_train_state
@@ -59,7 +59,6 @@ def bench_train_step(batch: int = 64, T: int = 500, iters: int = 5):
     diff_cfg = DiffusionConfig(num_steps=T)
     train_cfg = TrainConfig(batch_size=batch)
     state, tx = init_train_state(jax.random.PRNGKey(0), diff_cfg, train_cfg)
-    n_images = 512
     epoch_fn = build_epoch_fn(tx, diff_cfg, batch, n_images)
     imgs = jax.random.normal(jax.random.PRNGKey(1), (n_images, 32, 32, 1), jnp.float32)
     steps_per_epoch = -(-n_images // batch)
@@ -88,12 +87,14 @@ def main():
     # batch 256 ~1.8x batch-64 throughput (measured 2026-08-16); samples/s/chip
     # is the metric, batch is free to choose
     samples_per_sec, wall = bench_sampling(batch=256)
-    train_steps_per_sec = bench_train_step()
+    train_steps_64 = bench_train_step(batch=64)
+    train_steps_128 = bench_train_step(batch=128)
     per_step_ms = wall / 499 * 1e3  # T-1 denoise steps per trajectory
 
     print(
         f"[bench] sampling: {samples_per_sec:.2f} samples/s (batch 256, T=500, {wall:.3f}s/traj), "
-        f"per-denoise-step {per_step_ms:.3f} ms, train {train_steps_per_sec:.2f} steps/s (batch 64)",
+        f"per-denoise-step {per_step_ms:.3f} ms, "
+        f"train {train_steps_64:.2f} steps/s (batch 64) / {train_steps_128:.2f} steps/s (batch 128)",
         file=sys.stderr,
     )
 
@@ -103,6 +104,8 @@ def main():
     # backend — generous vs the reference's single-threaded Julia loop):
     # 0.22 samples/s measured 2026-08-16 (see BASELINE.md).
     baseline_samples_per_sec = 0.22
+    # All three BASELINE.json metrics ride the single parsed JSON line
+    # (VERDICT.md round-1 task 7): headline + secondary fields.
     print(
         json.dumps(
             {
@@ -110,6 +113,10 @@ def main():
                 "value": round(samples_per_sec, 3),
                 "unit": "samples/s",
                 "vs_baseline": round(samples_per_sec / baseline_samples_per_sec, 2),
+                "per_denoise_step_ms": round(per_step_ms, 4),
+                "train_steps_per_sec_batch64": round(train_steps_64, 2),
+                "train_steps_per_sec_batch128": round(train_steps_128, 2),
+                "train_imgs_per_sec_batch128": round(train_steps_128 * 128, 1),
             }
         )
     )
