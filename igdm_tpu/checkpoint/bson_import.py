@@ -165,10 +165,20 @@ def import_shared_unet4(path: str) -> tuple[dict, dict]:
                 }
                 out[f"conv{idx}"] = p
             elif _is_type(layer, "GroupNorm"):
-                # Flux GroupNorm fields: lambda, chs, G, beta? — extract arrays:
-                # gamma (scale) then beta (bias) per Flux field order (chs first?).
-                arrs = layer.arrays()[:2]
-                # Flux GroupNorm struct: g? Field order: λ, β, γ,... like BatchNorm
+                # Flux GroupNorm field order (normalise.jl, Flux 0.16): G, λ,
+                # β(bias), γ(scale), μ, σ², ϵ, momentum, affine, track_stats,
+                # active, chs. GroupNorm defaults track_stats=false, so μ/σ²
+                # are nothing and the array-typed fields are exactly [β, γ] —
+                # the same β-before-γ relative order as BatchNorm, which is
+                # validated empirically against the reference's real gen-2
+                # checkpoints (tests/test_bson_import.py discriminator test).
+                # Round-tripped via checkpoint.bson_writer in tests.
+                arrs = layer.arrays()
+                if len(arrs) != 2:
+                    raise ValueError(
+                        f"GroupNorm: expected 2 array fields (beta, gamma; "
+                        f"track_stats=false), found {len(arrs)}"
+                    )
                 beta, gamma = arrs[0], arrs[1]
                 out[f"gn{idx}"] = {
                     "scale": np.asarray(gamma, np.float32),
