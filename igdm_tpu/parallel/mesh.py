@@ -35,10 +35,30 @@ def make_mesh(n_devices: int | None = None, *, model_parallel: int = 1) -> Mesh:
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
-def initialize_distributed():
-    """Multi-host initialization (jax.distributed). No-op on a single host;
-    call before make_mesh() in multi-host launches."""
+def initialize_distributed() -> bool:
+    """Multi-host initialization (jax.distributed). No-op on a single host.
+
+    Launch convention (tested with two real CPU processes in
+    tests/test_parallel.py): every process sets
+
+      JAX_COORDINATOR_ADDRESS=<host:port of process 0>
+      JAX_NUM_PROCESSES=<world size>
+      JAX_PROCESS_ID=<this process's rank>
+
+    and calls this before make_mesh(); after it returns True,
+    ``jax.devices()`` spans all hosts and make_mesh() builds the global
+    mesh. Returns False when the env vars are absent (single-host mode).
+    """
     import os
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
-        jax.distributed.initialize()
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS")
+    if not addr:
+        return False
+    num = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(num) if num else None,
+        process_id=int(pid) if pid else None,
+    )
+    return True

@@ -145,3 +145,61 @@ def test_tensor_parallel_forward_matches_replicated():
     # weights really are sharded
     w = params_tp["down1"]["conv1"]["w"]
     assert not w.sharding.is_fully_replicated
+
+
+def test_initialize_distributed_two_processes(tmp_path):
+    import os
+    """initialize_distributed with two REAL jax.distributed CPU processes
+    (VERDICT.md round-1 task 6): both ranks must see a 2-device global view
+    and agree on a cross-process collective result."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = f"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")  # sitecustomize pins axon
+sys.path.insert(0, {repo!r})
+from igdm_tpu.parallel.mesh import initialize_distributed, make_mesh
+assert initialize_distributed() is True
+assert jax.process_count() == 2
+assert len(jax.local_devices()) == 1
+assert jax.device_count() == 2
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+mesh = make_mesh(2)
+# rank-dependent shard -> global sum must see both processes' data
+local = jnp.full((1, 4), float(jax.process_index() + 1))
+arr = jax.make_array_from_single_device_arrays(
+    (2, 4), NamedSharding(mesh, P("data")), [jax.device_put(local, jax.local_devices()[0])])
+total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)
+assert float(total) == 12.0, float(total)  # (1+2) * 4
+print("RANK", jax.process_index(), "OK")
+"""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # 1 CPU device per process
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+    env["JAX_NUM_PROCESSES"] = "2"
+    procs = []
+    for rank in range(2):
+        e = dict(env, JAX_PROCESS_ID=str(rank))
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", worker],
+                env=e,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=300) for p in procs]
+    for rank, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{err[-2000:]}"
+        assert f"RANK {rank} OK" in out
