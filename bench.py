@@ -30,7 +30,7 @@ def _sync(x):
     return np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0]
 
 
-def bench_sampling(batch: int = 64, T: int = 500, iters: int = 3):
+def bench_sampling(batch: int = 64, T: int = 500, iters: int = 5):
     from igdm_tpu.config import DiffusionConfig
     from igdm_tpu.models import unet_small
     from igdm_tpu.sampling.ancestral import make_sampler
@@ -38,8 +38,12 @@ def bench_sampling(batch: int = 64, T: int = 500, iters: int = 3):
     cfg = DiffusionConfig(num_steps=T)
     params, state = unet_small.init(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(42)
-    # serving-style sampler: weights baked as XLA constants (~15% faster)
-    fn = make_sampler(params, state, cfg=cfg, num_images=batch)
+    # serving config: weights baked as XLA constants (~15%), BN folded +
+    # bf16 conv compute (+19%, outputs within bf16 rounding of the f32 path
+    # — tests/test_sampling.py pins the agreement)
+    fn = make_sampler(
+        params, state, cfg=cfg, num_images=batch, compute_dtype=jnp.bfloat16
+    )
 
     _sync(fn(key))  # warmup/compile
     times = []
@@ -51,7 +55,15 @@ def bench_sampling(batch: int = 64, T: int = 500, iters: int = 3):
     return batch / best, best
 
 
-def bench_train_step(batch: int = 64, T: int = 500, iters: int = 5, n_images: int = 512):
+def bench_train_step(batch: int = 64, T: int = 500, iters: int = 5, n_images: int = 8192):
+    """Steady-state train-step throughput.
+
+    n_images=8192 (64-128 steps per jitted epoch) amortizes this dev
+    environment's ~27 ms remote-relay dispatch latency per epoch call —
+    measured per-step DEVICE time is identical at n=512 vs n=8192; only the
+    relay round-trips differ (BASELINE.md). Mixed precision (bf16 convs,
+    f32 master params/BN stats) is the production training config.
+    """
     from igdm_tpu.config import DiffusionConfig, TrainConfig
     from igdm_tpu.diffusion.schedules import alphas_cumprod, linear_beta_schedule
     from igdm_tpu.training.ddpm import build_epoch_fn, init_train_state
@@ -59,7 +71,7 @@ def bench_train_step(batch: int = 64, T: int = 500, iters: int = 5, n_images: in
     diff_cfg = DiffusionConfig(num_steps=T)
     train_cfg = TrainConfig(batch_size=batch)
     state, tx = init_train_state(jax.random.PRNGKey(0), diff_cfg, train_cfg)
-    epoch_fn = build_epoch_fn(tx, diff_cfg, batch, n_images)
+    epoch_fn = build_epoch_fn(tx, diff_cfg, batch, n_images, compute_dtype="bfloat16")
     imgs = jax.random.normal(jax.random.PRNGKey(1), (n_images, 32, 32, 1), jnp.float32)
     steps_per_epoch = -(-n_images // batch)
 

@@ -78,6 +78,11 @@ class TrainConfig:
     # exponential moving average of weights for sampling (standard DDPM
     # practice; absent in the reference). 0 disables; 0.999 typical.
     ema_decay: float = 0.0
+    # conv compute dtype: "float32" (bit-exact, default) or "bfloat16"
+    # (mixed precision: convs + their backward matmuls at the MXU bf16 rate,
+    # f32 master params and BatchNorm statistics — measured ~1.7x faster
+    # train step on v5e).
+    compute_dtype: str = "float32"
 
 
 def to_dict(cfg: Any) -> dict:

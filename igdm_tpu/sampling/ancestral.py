@@ -192,6 +192,7 @@ def make_sampler(
     num_images: int = 256,
     image_size: tuple = (32, 32),
     channels: int = 1,
+    compute_dtype=None,
 ):
     """Compile a serving-style sampler with the weights BAKED IN as XLA
     constants: ``fn(key) -> images``.
@@ -201,11 +202,16 @@ def make_sampler(
     measured ~15% faster than the argument-passing path (289 vs 250
     samples/s, batch 256, T=500, v5e). Recompiles per checkpoint — the right
     trade for repeated generation from fixed weights.
+
+    compute_dtype: jnp.bfloat16 runs the U-Net convs at the MXU's bf16 rate
+    (2x the f32 conv rate, measured) with the sampler update rule kept in
+    f32; None (default) keeps everything f32.
     """
     cfg = cfg or DiffusionConfig()
     alpha_bar = _alpha_bar(cfg)
     h, w = image_size
     T, D, B = cfg.num_steps, cfg.embed_dim, num_images
+    folded = unet_small.fold_bn(params, model_state) if compute_dtype is not None else None
 
     @jax.jit
     def fn(key):
@@ -216,9 +222,14 @@ def make_sampler(
         def body(x, inputs):
             t, i = inputs
             t_emb = timestep_embedding(jnp.full((B,), t, jnp.float32), D)
-            eps_pred, _ = unet_small.apply(
-                params, model_state, x, t_emb, train=False, decompose_time_conv=True
-            )
+            if compute_dtype is not None:
+                eps_pred = unet_small.apply_folded(
+                    folded, x, t_emb, compute_dtype=compute_dtype, decompose_time_conv=True
+                )
+            else:
+                eps_pred, _ = unet_small.apply(
+                    params, model_state, x, t_emb, train=False, decompose_time_conv=True
+                )
             noise = jax.random.normal(jax.random.fold_in(k_loop, i), x.shape, jnp.float32)
             return (
                 reverse_diffusion_step(

@@ -35,9 +35,12 @@ from igdm_tpu.models.embeddings import timestep_embedding
 from igdm_tpu.training.train_state import TrainState
 
 
-def make_apply_fn(model_kind: str, embed_dim: int = 128):
+def make_apply_fn(model_kind: str, embed_dim: int = 128, compute_dtype=None):
     """Adapter giving every noise predictor the same signature:
-    (params, model_state, x_t, ts, train) -> (eps_pred, new_model_state)."""
+    (params, model_state, x_t, ts, train) -> (eps_pred, new_model_state).
+
+    compute_dtype: optional jnp.bfloat16 for mixed-precision conv compute
+    (f32 master params and norm statistics)."""
     if model_kind == "unet4":
 
         def apply_fn(params, model_state, x_t, ts, train):
@@ -48,7 +51,8 @@ def make_apply_fn(model_kind: str, embed_dim: int = 128):
     def apply_fn(params, model_state, x_t, ts, train):
         t_emb = timestep_embedding(ts.astype(jnp.float32), embed_dim)
         return unet_small.apply(
-            params, model_state, x_t, t_emb, train=train, decompose_time_conv=True
+            params, model_state, x_t, t_emb, train=train, decompose_time_conv=True,
+            compute_dtype=compute_dtype,
         )
 
     return apply_fn
@@ -119,6 +123,7 @@ def build_epoch_fn(
     use_scan: bool | None = None,
     ema_decay: float = 0.0,
     model_kind: str = "unet_small",
+    compute_dtype: str | None = None,
 ) -> Callable:
     """Compile one full epoch of training.
 
@@ -134,7 +139,8 @@ def build_epoch_fn(
     n_batches = -(-n_images // batch_size)
     T = diff_cfg.num_steps
     D = diff_cfg.embed_dim
-    apply_fn = make_apply_fn(model_kind, D)
+    cdt = jnp.bfloat16 if compute_dtype in ("bfloat16", "bf16") else None
+    apply_fn = make_apply_fn(model_kind, D, compute_dtype=cdt)
     if use_scan is None:
         use_scan = jax.default_backend() != "cpu"
 
@@ -275,7 +281,7 @@ def train_ddpm(
 
     epoch_fn = build_epoch_fn(
         tx, diff_cfg, train_cfg.batch_size, n, ema_decay=train_cfg.ema_decay,
-        model_kind=model_kind,
+        model_kind=model_kind, compute_dtype=train_cfg.compute_dtype,
     )
 
     imgs_dev = jnp.asarray(imgs, jnp.float32)

@@ -142,3 +142,33 @@ def test_make_sampler_matches_sample_ddpm(net):
     a = np.asarray(fn(key))
     b = np.asarray(sample_ddpm(params, state, key, num_images=3, cfg=CFG))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_make_sampler_bf16_close_to_f32(net):
+    """The bf16 serving sampler (BN folded, time-conv decomposed, bf16 conv
+    compute — the bench headline config) must track the f32 path within
+    bf16 rounding accumulation over the whole trajectory."""
+    from igdm_tpu.sampling.ancestral import make_sampler
+
+    params, state = net
+    key = jax.random.PRNGKey(13)
+    a = np.asarray(make_sampler(params, state, cfg=CFG, num_images=4)(key))
+    b = np.asarray(
+        make_sampler(params, state, cfg=CFG, num_images=4, compute_dtype=jnp.bfloat16)(key)
+    )
+    assert a.shape == b.shape == (4, 32, 32, 1)
+    assert float(np.abs(a - b).mean()) < 5e-3
+    assert float(np.abs(a - b).max()) < 8e-2
+
+
+def test_apply_folded_decomposed_matches_eval_forward(net):
+    """fold_bn + decompose_time_conv (f32) is exactly the eval forward."""
+    from igdm_tpu.models.embeddings import timestep_embedding
+
+    params, state = net
+    folded = unet_small.fold_bn(params, state)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 1))
+    t_emb = timestep_embedding(jnp.array([1.0, 4.0]), 128)
+    want, _ = unet_small.apply(params, state, x, t_emb, train=False)
+    got = unet_small.apply_folded(folded, x, t_emb, decompose_time_conv=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
