@@ -55,7 +55,15 @@ def _conv_block(key, cin, cout, *, double=True):
     return block
 
 
-def init(key, in_channels: int = 1, base_ch: int = 64, time_dim: int = TIME_DIM, *, levels: int = 4):
+def init(
+    key,
+    in_channels: int = 1,
+    base_ch: int = 64,
+    time_dim: int = TIME_DIM,
+    *,
+    levels: int = 4,
+    mid_attn: bool = False,
+):
     """Initialize the params pytree.
 
     levels: depth of the encoder/decoder. 4 matches Shared.SimpleUNet
@@ -64,6 +72,9 @@ def init(key, in_channels: int = 1, base_ch: int = 64, time_dim: int = TIME_DIM,
       src/ImageGenerationDiffusionModels.jl:299-333).
     base_ch: 80 is the reference training config (train_net.jl:188); 64 its
       sampling config (sample.jl:93).
+    mid_attn: residual spatial self-attention after the bottleneck block
+      (standard DDPM practice for the 64x64 stretch config; absent in the
+      reference, SURVEY.md section 5.7 — so off by default for parity).
     """
     mults = [2**i for i in range(levels + 1)]  # 1, 2, ..., 2^levels (bottleneck)
     chans = [base_ch * m for m in mults]
@@ -86,6 +97,10 @@ def init(key, in_channels: int = 1, base_ch: int = 64, time_dim: int = TIME_DIM,
         "block": _conv_block(jax.random.fold_in(key, 50), cin, cb),
         "tbias": _dense(jax.random.fold_in(key, 51), 128, cb),
     }
+    if mid_attn:
+        from igdm_tpu.ops.attention import init_attention
+
+        params["attn"] = init_attention(jax.random.fold_in(key, 52), cb)
     # up{levels-1} .. up0; up0 is a single conv+GN+swish (shared.jl:266-269)
     c_above = cb
     for i in range(levels - 1, -1, -1):
@@ -154,6 +169,10 @@ def apply(
 
     h = _apply_block(params["mid"]["block"], h, groups=groups, use_pallas=use_pallas)
     h = _add_time(params["mid"], h, tfeat)
+    if "attn" in params:
+        from igdm_tpu.ops.attention import spatial_self_attention
+
+        h = spatial_self_attention(params["attn"], h)
 
     for i, skip in zip(range(levels - 1, -1, -1), reversed(skips)):
         name = f"up{i}"

@@ -76,7 +76,7 @@ def init_train_state(
 ):
     kp, kr = jax.random.split(key)
     if model_kind == "unet4":
-        params = unet4.init(kp, in_channels=channels, base_ch=base_ch)
+        params = unet4.init(kp, in_channels=channels, base_ch=base_ch, mid_attn=mid_attn)
         model_state = {}
     else:
         params, model_state = unet_small.init(

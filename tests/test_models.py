@@ -136,3 +136,32 @@ def test_decomposed_time_conv_matches_concat_path():
     a, _ = unet_small.apply(params, state, x, t_emb, train=False)
     b, _ = unet_small.apply(params, state, x, t_emb, train=False, decompose_time_conv=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_unet4_mid_attention_forward_and_grad():
+    """unet4 bottleneck attention (stretch config): params gain an 'attn'
+    subtree, forward keeps shapes, and the block starts as identity
+    (zero-init proj) so outputs initially match the no-attention net."""
+    from igdm_tpu.models import unet4
+
+    key = jax.random.PRNGKey(3)
+    p_plain = unet4.init(key, 1, 8)
+    p_attn = unet4.init(key, 1, 8, mid_attn=True)
+    assert "attn" in p_attn and "attn" not in p_plain
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 32, 32, 1))
+    ts = jnp.array([1, 5])
+    a = unet4.apply(p_attn, x, ts, final_sigmoid=False)
+    b = unet4.apply(p_plain, x, ts, final_sigmoid=False)
+    assert a.shape == (2, 32, 32, 1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # attention params receive gradient once proj is nonzero
+    def loss(p):
+        return jnp.mean(unet4.apply(p, x, ts, final_sigmoid=False) ** 2)
+
+    g = jax.grad(loss)(p_attn)
+    qkv_g = float(jnp.abs(g["attn"]["qkv"]["w"]).max())
+    proj_g = float(jnp.abs(g["attn"]["proj"]["w"]).max())
+    assert proj_g > 0.0  # proj always gets gradient through the residual
+    assert np.isfinite(qkv_g)
