@@ -110,12 +110,16 @@ fused_groupnorm_silu.defvjp(_fwd, _bwd)
 def groupnorm_silu(x, scale, bias, *, groups: int = 8, eps: float = 1e-5, use_pallas: bool | None = None):
     """Dispatcher between the Pallas kernel and the XLA reference.
 
-    Measured on v5e (2026-08-16, unet4 fwd, batch 16, base_ch 32): embedding
-    the Pallas kernel costs 1.20 ms/fwd vs 0.97 ms for plain XLA — XLA
-    already fuses the GN+SiLU chain into the conv epilogue, and the custom
-    call blocks that deeper fusion at these small shapes. Default is
-    therefore XLA; opt in with use_pallas=True or IGDM_USE_PALLAS_GN=1 for
-    experiments at larger shapes.
+    Measured on v5e (round 2, scan-repetition methodology, BASELINE.md):
+    STANDALONE the kernel beats XLA 2x at deep-bottleneck shapes
+    ((64,8,8,512): 48.5 vs 99.6 us) and ties or wins slightly at
+    (16,32,32,64)/(16,16,16,512), but loses 2x at wide spatial shapes
+    ((32,64,64,64): 271 vs 127 us — one grid program per batch element is
+    the wrong decomposition there). IN-MODEL it loses at every tested unet4
+    config (base 32/64 @64x64 fwd+bwd: +35%/+22%) because XLA fuses the
+    GN+SiLU chain into the conv epilogue and the custom call blocks that
+    fusion. Default is therefore XLA; opt in with use_pallas=True or
+    IGDM_USE_PALLAS_GN=1.
     """
     if use_pallas is None:
         import os

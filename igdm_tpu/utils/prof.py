@@ -53,3 +53,35 @@ def profile_trace(logdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def summarize_trace(logdir: str, top: int = 25) -> list[tuple[str, float]]:
+    """Aggregate device-op durations from a jax.profiler trace directory.
+
+    Parses the ``*.trace.json.gz`` Chrome-trace files that
+    :func:`profile_trace` writes and returns ``[(op_name, total_ms), ...]``
+    sorted by total duration — the tool behind the per-op roofline table in
+    BASELINE.md (no TensorBoard needed). Host-side bookkeeping events
+    (profiler frames, array fetches) are filtered out.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+
+    ev: collections.Counter = collections.Counter()
+    for f in glob.glob(logdir + "/**/*.trace.json.gz", recursive=True):
+        with gzip.open(f, "rt") as fh:
+            data = json.load(fh)
+        for e in data.get("traceEvents", []):
+            if e.get("ph") == "X" and "dur" in e:
+                name = e["name"]
+                if (
+                    name.startswith("$")
+                    or "asarray" in name
+                    or "trace" in name
+                    or name.startswith("PjitFunction")
+                ):
+                    continue
+                ev[name] += e["dur"]
+    return [(name, dur / 1e3) for name, dur in ev.most_common(top)]

@@ -53,3 +53,21 @@ def test_timed_returns_sane_values():
     best, mean, result = timed(jax.jit(lambda x: x + 1), jnp.zeros((4,)), iters=2)
     assert 0 < best <= mean
     assert result.shape == (4,)
+
+
+def test_summarize_trace(tmp_path):
+    """profile_trace + summarize_trace round-trip on the CPU backend."""
+    import jax
+    import jax.numpy as jnp
+
+    from igdm_tpu.utils.prof import profile_trace, summarize_trace
+
+    f = jax.jit(lambda x: jnp.sum(x * x))
+    x = jnp.ones((256, 256))
+    float(f(x))  # compile outside the trace
+    with profile_trace(str(tmp_path)):
+        float(f(x))
+    ops = summarize_trace(str(tmp_path))
+    assert isinstance(ops, list)
+    assert all(isinstance(n, str) and d >= 0 for n, d in ops)
+    assert len(ops) > 0  # at least one device/runtime op recorded
