@@ -50,6 +50,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="noise predictor for --model ddpm (unet4+cosine+ema is the quality recipe)",
     )
     p.add_argument("--ema-decay", type=float, default=0.0, help="EMA of weights (0 disables; 0.999 typical)")
+    p.add_argument(
+        "--epochs-per-dispatch", type=int, default=1,
+        help="epochs scanned per jitted call (bit-identical numbers; 8-10 "
+        "gives ~8x wall speedup on small datasets by amortizing dispatch)",
+    )
+    p.add_argument(
+        "--compute-dtype", choices=["float32", "bfloat16"], default="float32",
+        help="conv compute dtype (bfloat16 = mixed precision)",
+    )
     return p
 
 
@@ -129,6 +138,8 @@ def main(argv=None) -> int:
             checkpoint_every=args.checkpoint_every or 5,
             seed=args.seed,
             ema_decay=args.ema_decay,
+            epochs_per_dispatch=args.epochs_per_dispatch,
+            compute_dtype=args.compute_dtype,
         )
         res = train_ddpm(
             normalize_pm1(imgs), diff_cfg, train_cfg, mesh=mesh, out_dir=args.out_dir,

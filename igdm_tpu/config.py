@@ -78,6 +78,12 @@ class TrainConfig:
     # exponential moving average of weights for sampling (standard DDPM
     # practice; absent in the reference). 0 disables; 0.999 typical.
     ema_decay: float = 0.0
+    # epochs executed inside ONE jitted dispatch (lax.scan over epochs).
+    # Bit-identical numbers to 1 (per-epoch RNG derives from the step
+    # counter); >1 amortizes the host->device round-trip for small datasets
+    # (the reference's 500-image set = 8 batches/epoch). Early stopping and
+    # checkpoints are evaluated per epoch but effected at block boundaries.
+    epochs_per_dispatch: int = 1
     # conv compute dtype: "float32" (bit-exact, default) or "bfloat16"
     # (mixed precision: convs + their backward matmuls at the MXU bf16 rate,
     # f32 master params and BatchNorm statistics — measured ~1.7x faster

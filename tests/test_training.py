@@ -289,3 +289,34 @@ def test_train_bf16_mixed_precision_converges(dataset):
     assert res.epochs_run == 2
     assert all(np.isfinite(l) for l in res.losses)
     assert res.losses[-1] < 5.0
+
+
+def test_multi_epoch_dispatch_bit_identical():
+    """epochs_per_dispatch>1 scans k epochs in one jitted call; per-epoch
+    RNG derives from the step counter, so losses and final params must be
+    bit-identical to k sequential single-epoch dispatches."""
+    import jax.numpy as jnp
+
+    from igdm_tpu.config import DiffusionConfig, TrainConfig
+    from igdm_tpu.training.ddpm import build_epoch_fn, init_train_state
+
+    diff = DiffusionConfig(num_steps=5)
+    tcfg = TrainConfig(batch_size=4)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 1), jnp.float32)
+
+    s1, tx = init_train_state(jax.random.PRNGKey(0), diff, tcfg)
+    s2, _ = init_train_state(jax.random.PRNGKey(0), diff, tcfg)
+
+    single = build_epoch_fn(tx, diff, 4, 8, use_scan=True)
+    multi = build_epoch_fn(tx, diff, 4, 8, use_scan=True, epochs_per_dispatch=2)
+
+    s1, l1a = single(s1, imgs)
+    s1, l1b = single(s1, imgs)
+    s2, l2 = multi(s2, imgs)
+
+    l2 = np.asarray(l2)
+    assert l2.shape == (2,)
+    np.testing.assert_array_equal(l2, np.asarray([l1a, l1b]))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(s1.step) == int(s2.step) == 4
