@@ -116,13 +116,23 @@ def init(
     return params
 
 
-def _apply_block(p, x, *, groups=8, use_pallas=None):
+def _apply_block(p, x, *, groups=8, use_pallas=None, compute_dtype=None):
     from igdm_tpu.ops.pallas.fused_groupnorm_silu import groupnorm_silu
 
-    h = conv2d(x, p["conv1"]["w"], p["conv1"]["b"])
+    def conv(x, cp):
+        if compute_dtype is not None:
+            # mixed precision: conv (and its backward matmuls under grad) at
+            # the MXU bf16 rate; the f32 bias-add promotes the output so the
+            # GroupNorm statistics stay f32.
+            return conv2d(x.astype(compute_dtype), cp["w"].astype(compute_dtype)).astype(
+                jnp.float32
+            ) + cp["b"].reshape(1, 1, 1, -1)
+        return conv2d(x, cp["w"], cp["b"])
+
+    h = conv(x, p["conv1"])
     h = groupnorm_silu(h, p["gn1"]["scale"], p["gn1"]["bias"], groups=groups, use_pallas=use_pallas)
     if "conv2" in p:
-        h = conv2d(h, p["conv2"]["w"], p["conv2"]["b"])
+        h = conv(h, p["conv2"])
         h = groupnorm_silu(
             h, p["gn2"]["scale"], p["gn2"]["bias"], groups=groups, use_pallas=use_pallas
         )
@@ -146,11 +156,14 @@ def apply(
     final_sigmoid: bool = True,
     time_dim: int = TIME_DIM,
     use_pallas: bool | None = None,
+    compute_dtype=None,
 ):
     """Forward pass: x (B,H,W,C), ts (B,) integer timesteps -> (B,H,W,1).
 
     ``use_pallas``: route GroupNorm+SiLU through the fused Pallas kernel
-    (default: auto — on for TPU backends)."""
+    (default: auto — on for TPU backends).
+    ``compute_dtype``: jnp.bfloat16 for mixed-precision convs (f32 master
+    params and GroupNorm statistics)."""
     raw = timestep_embedding(ts, time_dim)  # (B, time_dim)
     t1 = params["time_mlp"]["dense1"]
     t2 = params["time_mlp"]["dense2"]
@@ -162,12 +175,12 @@ def apply(
     h = x
     for i in range(1, levels + 1):
         name = f"down{i}"
-        h = _apply_block(params[name]["block"], h, groups=groups, use_pallas=use_pallas)
+        h = _apply_block(params[name]["block"], h, groups=groups, use_pallas=use_pallas, compute_dtype=compute_dtype)
         h = _add_time(params[name], h, tfeat)
         skips.append(h)
         h = max_pool_2x2(h)
 
-    h = _apply_block(params["mid"]["block"], h, groups=groups, use_pallas=use_pallas)
+    h = _apply_block(params["mid"]["block"], h, groups=groups, use_pallas=use_pallas, compute_dtype=compute_dtype)
     h = _add_time(params["mid"], h, tfeat)
     if "attn" in params:
         from igdm_tpu.ops.attention import spatial_self_attention
@@ -178,7 +191,7 @@ def apply(
         name = f"up{i}"
         h = upsample_bilinear_2x(h)
         h = jnp.concatenate([h, skip], axis=-1)
-        h = _apply_block(params[name]["block"], h, groups=groups, use_pallas=use_pallas)
+        h = _apply_block(params[name]["block"], h, groups=groups, use_pallas=use_pallas, compute_dtype=compute_dtype)
         h = _add_time(params[name], h, tfeat)
 
     out = conv2d(h, params["final"]["w"])

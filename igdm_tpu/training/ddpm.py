@@ -44,7 +44,10 @@ def make_apply_fn(model_kind: str, embed_dim: int = 128, compute_dtype=None):
     if model_kind == "unet4":
 
         def apply_fn(params, model_state, x_t, ts, train):
-            return unet4.apply(params, x_t, ts, final_sigmoid=False), model_state
+            return (
+                unet4.apply(params, x_t, ts, final_sigmoid=False, compute_dtype=compute_dtype),
+                model_state,
+            )
 
         return apply_fn
 
