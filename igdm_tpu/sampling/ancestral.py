@@ -475,3 +475,93 @@ def _sample_karras_impl(
 
     x, _ = jax.lax.scan(body, x, (t_vals, jnp.arange(num_steps)))
     return x * sigma + mu
+
+
+def sample_dpmpp2m(
+    params,
+    model_state,
+    key,
+    *,
+    num_images: int = 16,
+    image_size: tuple = (32, 32),
+    cfg: DiffusionConfig | None = None,
+    num_sample_steps: int = 20,
+    channels: int = 1,
+    model_kind: str = "unet_small",
+    apply_fn=None,
+):
+    """DPM-Solver++(2M): deterministic second-order multistep sampling in the
+    data-prediction parameterization — state-of-the-art few-step sampling
+    (10-25 steps where DDIM needs ~50). A capability addition over the
+    reference (which has only the T-step ancestral loop,
+    src/generate_images.jl:231-245).
+
+    Math (data prediction, 2M): with alpha_t = sqrt(alpha_bar_t),
+    sigma_t = sqrt(1 - alpha_bar_t), lambda_t = log(alpha_t / sigma_t),
+    h_i = lambda_i - lambda_{i-1}, r_i = h_{i-1} / h_i:
+
+        D_i = (1 + 1/(2 r_i)) x0_i - 1/(2 r_i) x0_{i-1}
+        x_i = (sigma_i / sigma_{i-1}) x_{i-1} - alpha_i (e^{-h_i} - 1) D_i
+
+    First and final steps use the first-order update (D = x0), the standard
+    "lower_order_final" stabilization.
+
+    apply_fn: optional (params, state, x, ts, train) -> (eps_pred, state)
+    override; defaults to the model_kind dispatch used by all samplers.
+    """
+    from igdm_tpu.training.ddpm import make_apply_fn
+
+    cfg = cfg or DiffusionConfig()
+    alpha_bar = _alpha_bar(cfg)
+    ts = np.unique(
+        np.linspace(1, cfg.num_steps, num_sample_steps).round().astype(np.int32)
+    )[::-1]
+    ts_prev = np.concatenate([ts[1:], [0]])  # 0 => alpha_bar = 1 (clean)
+    if apply_fn is None:
+        apply_fn = make_apply_fn(model_kind, cfg.embed_dim)
+    return _sample_dpmpp2m_impl(
+        params, model_state, key, alpha_bar,
+        jnp.asarray(ts.copy()), jnp.asarray(ts_prev.copy()),
+        num_images=num_images, image_size=tuple(image_size),
+        channels=channels, apply_fn=apply_fn,
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("num_images", "image_size", "channels", "apply_fn")
+)
+def _sample_dpmpp2m_impl(
+    params, model_state, key, alpha_bar, ts, ts_prev,
+    *, num_images, image_size, channels, apply_fn,
+):
+    h_, w_ = image_size
+    x = jax.random.normal(key, (num_images, h_, w_, channels), jnp.float32)
+    ab_ext = jnp.concatenate([jnp.ones((1,), jnp.float32), alpha_bar])  # ab_ext[t], t in 0..T
+
+    def lam_sig_alpha(t):
+        ab = ab_ext[t]
+        alpha = jnp.sqrt(ab)
+        sigma = jnp.sqrt(jnp.maximum(1.0 - ab, 1e-12))  # sigma=0 at t=0 -> clip
+        return jnp.log(alpha / sigma), sigma, alpha
+
+    n = ts.shape[0]
+
+    def body(carry, inputs):
+        x, x0_prev, h_prev, have_prev = carry
+        t, t_prev, i = inputs
+        eps_pred, _ = apply_fn(params, model_state, x, jnp.full((num_images,), t), False)
+        lam_s, sig_s, alpha_s = lam_sig_alpha(t)
+        lam_t, sig_t, alpha_t = lam_sig_alpha(t_prev)
+        x0 = (x - sig_s * eps_pred) / alpha_s
+        h = lam_t - lam_s
+        # 2M correction except on the first step and the final step
+        r = h_prev / h
+        use_2m = have_prev & (i < n - 1)
+        c = jnp.where(use_2m, 1.0 / (2.0 * jnp.maximum(r, 1e-12)), 0.0)
+        D = (1.0 + c) * x0 - c * x0_prev
+        x = (sig_t / sig_s) * x - alpha_t * jnp.expm1(-h) * D
+        return (x, x0, h, jnp.asarray(True)), None
+
+    init = (x, jnp.zeros_like(x), jnp.asarray(1.0, jnp.float32), jnp.asarray(False))
+    (x, _, _, _), _ = jax.lax.scan(body, init, (ts, ts_prev, jnp.arange(n)))
+    return jnp.clip(x, -1.0, 1.0)

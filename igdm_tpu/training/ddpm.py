@@ -35,12 +35,18 @@ from igdm_tpu.models.embeddings import timestep_embedding
 from igdm_tpu.training.train_state import TrainState
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
 def make_apply_fn(model_kind: str, embed_dim: int = 128, compute_dtype=None):
     """Adapter giving every noise predictor the same signature:
     (params, model_state, x_t, ts, train) -> (eps_pred, new_model_state).
 
     compute_dtype: optional jnp.bfloat16 for mixed-precision conv compute
-    (f32 master params and norm statistics)."""
+    (f32 master params and norm statistics). Cached so identical arguments
+    return the identical function object — samplers pass the result as a
+    static jit argument, and a fresh closure per call would retrace."""
     if model_kind == "unet4":
 
         def apply_fn(params, model_state, x_t, ts, train):

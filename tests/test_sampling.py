@@ -172,3 +172,54 @@ def test_apply_folded_decomposed_matches_eval_forward(net):
     want, _ = unet_small.apply(params, state, x, t_emb, train=False)
     got = unet_small.apply_folded(folded, x, t_emb, decompose_time_conv=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_dpmpp2m_converges_to_fixed_point():
+    """Exact-solver check: if the model's eps-prediction corresponds to a
+    CONSTANT x0 prediction c (eps_hat = (x - sqrt(ab) c)/sqrt(1-ab)), the
+    probability-flow ODE's solution at t=0 is exactly c — any consistent
+    solver must land there. DPM-Solver++(2M) with 10 steps must hit c to
+    high accuracy (this would expose any error in the lambda/h/r algebra)."""
+    from igdm_tpu.sampling.ancestral import sample_dpmpp2m
+    from igdm_tpu.diffusion.schedules import alphas_cumprod, betas_for_config
+
+    cfg = DiffusionConfig(num_steps=200)
+    ab = jnp.asarray(alphas_cumprod(betas_for_config(cfg)), jnp.float32)
+    c = 0.4321
+
+    def apply_fn(params, state, x, ts, train):
+        a = ab[ts - 1].reshape(-1, 1, 1, 1)
+        eps_hat = (x - jnp.sqrt(a) * c) / jnp.sqrt(1.0 - a)
+        return eps_hat, state
+
+    out = sample_dpmpp2m(
+        {}, {}, jax.random.PRNGKey(0), num_images=3, cfg=cfg,
+        num_sample_steps=10, apply_fn=apply_fn,
+    )
+    o = np.asarray(out)
+    assert o.shape == (3, 32, 32, 1)
+    np.testing.assert_allclose(o, c, atol=5e-3)
+
+
+def test_dpmpp2m_runs_on_real_model(net):
+    from igdm_tpu.sampling.ancestral import sample_dpmpp2m
+
+    params, state = net
+    out = sample_dpmpp2m(
+        params, state, jax.random.PRNGKey(2), num_images=2,
+        cfg=DiffusionConfig(num_steps=5), num_sample_steps=4,
+    )
+    o = np.asarray(out)
+    assert o.shape == (2, 32, 32, 1)
+    assert np.isfinite(o).all()
+    assert o.min() >= -1.0 and o.max() <= 1.0
+
+
+def test_dpmpp2m_deterministic(net):
+    from igdm_tpu.sampling.ancestral import sample_dpmpp2m
+
+    params, state = net
+    kw = dict(num_images=2, cfg=DiffusionConfig(num_steps=5), num_sample_steps=4)
+    a = np.asarray(sample_dpmpp2m(params, state, jax.random.PRNGKey(3), **kw))
+    b = np.asarray(sample_dpmpp2m(params, state, jax.random.PRNGKey(3), **kw))
+    np.testing.assert_array_equal(a, b)
