@@ -22,11 +22,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("n", nargs="?", type=int, default=16, help="number of samples (default 16)")
     p.add_argument("--timesteps", type=int, default=None, help="diffusion T override")
     p.add_argument(
-        "--sampler", choices=["auto", "ancestral", "ddim", "textbook"], default="auto",
+        "--sampler", choices=["auto", "ancestral", "ddim", "dpmpp", "textbook"], default="auto",
         help="auto reads the checkpoint: reference-exact ancestral for "
         "unet_small, textbook posterior for unet4",
     )
-    p.add_argument("--ddim-steps", type=int, default=50)
+    p.add_argument("--ddim-steps", type=int, default=50, help="steps for --sampler ddim/dpmpp")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="samples.png")
     p.add_argument("--per-image", action="store_true", help="also save generated_image_i.png per image")

@@ -552,7 +552,12 @@ def _sample_dpmpp2m_impl(
         eps_pred, _ = apply_fn(params, model_state, x, jnp.full((num_images,), t), False)
         lam_s, sig_s, alpha_s = lam_sig_alpha(t)
         lam_t, sig_t, alpha_t = lam_sig_alpha(t_prev)
-        x0 = (x - sig_s * eps_pred) / alpha_s
+        # clamp the x0-prediction to the data range — the same stabilization
+        # ddim_step applies (diffusion/processes.py). At extreme t (cosine
+        # alpha_bar_T ~ 1e-8) the 1/alpha_s amplification otherwise turns eps
+        # error into O(10^3) x0 error, which a deterministic multistep solver
+        # propagates; measured: unclamped -> noise output on a real model.
+        x0 = jnp.clip((x - sig_s * eps_pred) / alpha_s, -1.0, 1.0)
         h = lam_t - lam_s
         # 2M correction except on the first step and the final step
         r = h_prev / h

@@ -18,7 +18,7 @@ def sample_from_checkpoint(
     key,
     *,
     num_images: int = 16,
-    sampler: str = "auto",  # auto | ancestral | ddim | textbook
+    sampler: str = "auto",  # auto | ancestral | ddim | dpmpp | textbook
     ddim_steps: int = 50,
     timesteps: int | None = None,
     prefer_ema: bool = False,
@@ -81,12 +81,21 @@ def sample_from_checkpoint(
     if sampler == "auto":
         sampler = "textbook" if model_kind == "unet4" else "ancestral"
 
-    if sampler == "ddim" and model_kind == "unet_small":
+    if sampler == "ddim":
         from igdm_tpu.sampling.ancestral import sample_ddim
 
         out = sample_ddim(
             params, state, key, num_images=num_images, cfg=cfg,
             num_sample_steps=ddim_steps, channels=channels, image_size=image_size,
+            model_kind=model_kind,
+        )
+    elif sampler == "dpmpp":
+        from igdm_tpu.sampling.ancestral import sample_dpmpp2m
+
+        out = sample_dpmpp2m(
+            params, state, key, num_images=num_images, cfg=cfg,
+            num_sample_steps=ddim_steps, channels=channels, image_size=image_size,
+            model_kind=model_kind,
         )
     elif sampler == "ancestral" and model_kind == "unet_small":
         from igdm_tpu.sampling.ancestral import sample_ddpm
