@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--compute-dtype", choices=["float32", "bfloat16"], default="float32",
         help="conv compute dtype (bfloat16 = mixed precision)",
     )
+    p.add_argument(
+        "--objective", choices=["eps", "v"], default="eps",
+        help="training target: eps (reference parity) or v-prediction",
+    )
     return p
 
 
@@ -140,6 +144,7 @@ def main(argv=None) -> int:
             ema_decay=args.ema_decay,
             epochs_per_dispatch=args.epochs_per_dispatch,
             compute_dtype=args.compute_dtype,
+            objective=args.objective,
         )
         res = train_ddpm(
             normalize_pm1(imgs), diff_cfg, train_cfg, mesh=mesh, out_dir=args.out_dir,

@@ -78,6 +78,12 @@ class TrainConfig:
     # exponential moving average of weights for sampling (standard DDPM
     # practice; absent in the reference). 0 disables; 0.999 typical.
     ema_decay: float = 0.0
+    # training objective: "eps" (reference parity, Ho et al.) or "v"
+    # (v-prediction, Salimans & Ho 2022: v = alpha*eps - sigma*x0 — better
+    # conditioned at extreme timesteps and the standard target for few-step
+    # samplers/distillation). Serialized into checkpoints; sampling.auto
+    # converts v-predictions back to eps transparently.
+    objective: str = "eps"
     # epochs executed inside ONE jitted dispatch (lax.scan over epochs).
     # Bit-identical numbers to 1 (per-epoch RNG derives from the step
     # counter); >1 amortizes the host->device round-trip for small datasets

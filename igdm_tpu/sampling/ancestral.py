@@ -244,6 +244,25 @@ def make_sampler(
     return fn
 
 
+def v_to_eps_apply_fn(apply_fn, alpha_bar):
+    """Adapt a v-prediction model (TrainConfig.objective="v") to the
+    eps-prediction interface every sampler consumes.
+
+    Variance-preserving identity with alpha=sqrt(ab), sigma=sqrt(1-ab):
+    given v = alpha*eps - sigma*x0 and x_t = alpha*x0 + sigma*eps,
+    eps = sigma*x_t + alpha*v — exact, no model call added.
+    """
+    ab_table = jnp.asarray(alpha_bar, jnp.float32)
+
+    def wrapped(params, state, x, ts, train):
+        v_hat, new_state = apply_fn(params, state, x, ts, train)
+        ab = ab_table[ts - 1].reshape(-1, 1, 1, 1)  # 1-based ts convention
+        eps_hat = jnp.sqrt(1.0 - ab) * x + jnp.sqrt(ab) * v_hat
+        return eps_hat, new_state
+
+    return wrapped
+
+
 def make_textbook_sampler(
     params,
     model_state,
@@ -253,6 +272,7 @@ def make_textbook_sampler(
     image_size: tuple = (32, 32),
     channels: int = 1,
     model_kind: str = "unet_small",
+    apply_fn=None,
 ):
     """Textbook DDPM ancestral sampler (Ho et al. posterior — see
     diffusion.processes.ddpm_posterior_step), baked weights, full T..1 loop
@@ -267,7 +287,8 @@ def make_textbook_sampler(
     betas = jnp.asarray(betas_for_config(cfg), jnp.float32)
     alpha_bar = jnp.asarray(alphas_cumprod(betas_for_config(cfg)), jnp.float32)
     ab_ext = jnp.concatenate([jnp.ones((1,), jnp.float32), alpha_bar])  # ab_ext[t], t in 0..T
-    apply_fn = make_apply_fn(model_kind, cfg.embed_dim)
+    if apply_fn is None:
+        apply_fn = make_apply_fn(model_kind, cfg.embed_dim)
     h, w = image_size
     T, B = cfg.num_steps, num_images
 
@@ -348,6 +369,7 @@ def sample_ddim(
     eta: float = 0.0,
     channels: int = 1,
     model_kind: str = "unet_small",
+    apply_fn=None,
 ):
     """Fast DDIM sampling over a strided timestep subset — the accelerated
     sampler the reference lacks (BASELINE.json stretch config)."""
@@ -361,20 +383,25 @@ def sample_ddim(
         jnp.asarray(ts.copy()), jnp.asarray(ts_prev.copy()),
         num_images=num_images, image_size=tuple(image_size),
         embed_dim=cfg.embed_dim, eta=eta, channels=channels, model_kind=model_kind,
+        apply_fn=apply_fn,
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("num_images", "image_size", "embed_dim", "eta", "channels", "model_kind"),
+    static_argnames=(
+        "num_images", "image_size", "embed_dim", "eta", "channels", "model_kind", "apply_fn",
+    ),
 )
 def _sample_ddim_impl(
     params, model_state, key, alpha_bar, ts, ts_prev,
     *, num_images, image_size, embed_dim, eta, channels=1, model_kind="unet_small",
+    apply_fn=None,
 ):
     from igdm_tpu.training.ddpm import make_apply_fn
 
-    apply_fn = make_apply_fn(model_kind, embed_dim)
+    if apply_fn is None:
+        apply_fn = make_apply_fn(model_kind, embed_dim)
     h, w = image_size
     k_init, k_loop = jax.random.split(key)
     x = jax.random.normal(k_init, (num_images, h, w, channels), jnp.float32)

@@ -78,8 +78,24 @@ def sample_from_checkpoint(
     channels = int(data_meta.get("channels", 1))
     image_size = tuple(data_meta.get("image_size", (32, 32)))
 
+    # v-prediction checkpoints (TrainConfig.objective="v"): adapt the model
+    # to the eps interface once; every sampler below consumes eps.
+    apply_fn = None
+    objective = (meta.get("train_cfg") or {}).get("objective", "eps")
+    if objective == "v":
+        from igdm_tpu.diffusion.schedules import alphas_cumprod, betas_for_config
+        from igdm_tpu.sampling.ancestral import v_to_eps_apply_fn
+        from igdm_tpu.training.ddpm import make_apply_fn
+
+        apply_fn = v_to_eps_apply_fn(
+            make_apply_fn(model_kind, cfg.embed_dim),
+            alphas_cumprod(betas_for_config(cfg)),
+        )
+
     if sampler == "auto":
-        sampler = "textbook" if model_kind == "unet4" else "ancestral"
+        sampler = "textbook" if (model_kind == "unet4" or objective == "v") else "ancestral"
+    if sampler == "ancestral" and objective == "v":
+        sampler = "textbook"  # the reference-exact path is eps-only by design
 
     if sampler == "ddim":
         from igdm_tpu.sampling.ancestral import sample_ddim
@@ -87,7 +103,7 @@ def sample_from_checkpoint(
         out = sample_ddim(
             params, state, key, num_images=num_images, cfg=cfg,
             num_sample_steps=ddim_steps, channels=channels, image_size=image_size,
-            model_kind=model_kind,
+            model_kind=model_kind, apply_fn=apply_fn,
         )
     elif sampler == "dpmpp":
         from igdm_tpu.sampling.ancestral import sample_dpmpp2m
@@ -95,7 +111,7 @@ def sample_from_checkpoint(
         out = sample_dpmpp2m(
             params, state, key, num_images=num_images, cfg=cfg,
             num_sample_steps=ddim_steps, channels=channels, image_size=image_size,
-            model_kind=model_kind,
+            model_kind=model_kind, apply_fn=apply_fn,
         )
     elif sampler == "ancestral" and model_kind == "unet_small":
         from igdm_tpu.sampling.ancestral import sample_ddpm
@@ -110,6 +126,7 @@ def sample_from_checkpoint(
         fn = make_textbook_sampler(
             params, state, cfg=cfg, num_images=num_images,
             image_size=image_size, channels=channels, model_kind=model_kind,
+            apply_fn=apply_fn,
         )
         out = fn(key)
         sampler = "textbook"

@@ -106,19 +106,28 @@ def init_train_state(
     )
 
 
-def ddpm_loss(params, model_state, x0, ts, eps, mask, alpha_bar, embed_dim, apply_fn=None):
-    """Masked-mean epsilon-prediction MSE (src/train_brain.jl:225-241).
+def ddpm_loss(
+    params, model_state, x0, ts, eps, mask, alpha_bar, embed_dim, apply_fn=None,
+    objective: str = "eps",
+):
+    """Masked-mean noise-prediction MSE (src/train_brain.jl:225-241).
 
     ``ts`` uses the reference's 1-based convention {1..T}: alpha_bar is
     indexed at ts-1 and the embedding sees the raw ts value — matching what
     the reference model saw during training (src/train_brain.jl:227-236).
+
+    objective: "eps" (reference parity) regresses the injected noise;
+    "v" regresses v = alpha*eps - sigma*x0 (Salimans & Ho 2022).
     """
     if apply_fn is None:
         apply_fn = make_apply_fn("unet_small", embed_dim)
     ab = alpha_bar[ts - 1].reshape(-1, 1, 1, 1)
-    x_t = jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * eps
-    eps_pred, new_state = apply_fn(params, model_state, x_t, ts, True)
-    per_ex = jnp.mean(jnp.square(eps_pred - eps), axis=(1, 2, 3))
+    alpha = jnp.sqrt(ab)
+    sigma = jnp.sqrt(1.0 - ab)
+    x_t = alpha * x0 + sigma * eps
+    pred, new_state = apply_fn(params, model_state, x_t, ts, True)
+    target = eps if objective == "eps" else alpha * eps - sigma * x0
+    per_ex = jnp.mean(jnp.square(pred - target), axis=(1, 2, 3))
     loss = jnp.sum(per_ex * mask) / jnp.maximum(jnp.sum(mask), 1.0)
     return loss, new_state
 
@@ -134,6 +143,7 @@ def build_epoch_fn(
     model_kind: str = "unet_small",
     compute_dtype: str | None = None,
     epochs_per_dispatch: int = 1,
+    objective: str = "eps",
 ) -> Callable:
     """Compile one full epoch of training.
 
@@ -166,7 +176,7 @@ def build_epoch_fn(
         ts = jax.random.randint(k_t, (batch_size,), 1, T + 1)  # 1-based {1..T}
         eps = jax.random.normal(k_eps, x0.shape, jnp.float32)
         (loss, new_mstate), grads = grad_fn(
-            st.params, st.model_state, x0, ts, eps, mask, alpha_bar, D, apply_fn
+            st.params, st.model_state, x0, ts, eps, mask, alpha_bar, D, apply_fn, objective
         )
         updates, new_opt = tx.update(grads, st.opt_state, st.params)
         new_params = optax.apply_updates(st.params, updates)
@@ -315,6 +325,7 @@ def train_ddpm(
         ema_decay=train_cfg.ema_decay, model_kind=model_kind,
         compute_dtype=train_cfg.compute_dtype,
     )
+    kw_build["objective"] = train_cfg.objective
     epoch_fn = build_epoch_fn(
         tx, diff_cfg, train_cfg.batch_size, n, epochs_per_dispatch=k, **kw_build
     )
