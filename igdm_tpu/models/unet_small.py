@@ -27,7 +27,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from igdm_tpu.ops.nn import batch_norm, conv2d, conv_transpose2d, max_pool_2x2
+from igdm_tpu.ops.nn import (
+    batch_norm,
+    batch_norm_relu_train,
+    conv2d,
+    conv_transpose2d,
+    max_pool_2x2,
+)
 
 EMBED_DIM = 128
 
@@ -110,10 +116,27 @@ def init(key, channels: int = 1, embed_dim: int = EMBED_DIM, *, mid_attn: bool =
 
 
 def _conv_bn_relu(p, s, name_conv, name_bn, x, *, train, axis_name, compute_dtype=None):
+    if compute_dtype is not None and train:
+        # mixed-precision training block: bf16 conv (fwd and both backward
+        # matmuls at the MXU bf16 rate) straight into the fused
+        # BatchNorm+ReLU custom-VJP op — one-pass f32 statistics over the
+        # raw bf16 conv output, conv bias folded into the running-mean
+        # record only (train-mode BN is shift-invariant), bf16 activations
+        # and cotangents end to end. See ops/nn.batch_norm_relu_train.
+        h = conv2d(x.astype(compute_dtype), p[name_conv]["w"].astype(compute_dtype))
+        y, m, v = batch_norm_relu_train(
+            h,
+            p[name_bn]["scale"],
+            p[name_bn]["bias"],
+            s[name_bn]["mean"],
+            s[name_bn]["var"],
+            conv_bias=p[name_conv]["b"],
+            axis_name=axis_name,
+        )
+        return y, {name_bn: {"mean": m, "var": v}}
     if compute_dtype is not None:
-        # mixed precision: the conv (fwd and both backward matmuls) runs at
-        # the MXU bf16 rate (measured 167 vs 82 TF/s for these shapes); the
-        # f32 bias-add promotes the output so BatchNorm statistics stay f32.
+        # mixed-precision eval: the f32 bias-add promotes the output so
+        # BatchNorm uses f32 running statistics.
         h = conv2d(x.astype(compute_dtype), p[name_conv]["w"].astype(compute_dtype))
         h = h.astype(jnp.float32) + p[name_conv]["b"].reshape(1, 1, 1, -1)
     else:
@@ -214,11 +237,17 @@ def apply(
         d1 = params["down1"]
         s1 = state["down1"]
         hx = _conv1_time_decomposed(d1["conv1"], x, t_emb)
-        hx, mn, vr = batch_norm(
-            hx, d1["bn1"]["scale"], d1["bn1"]["bias"], s1["bn1"]["mean"], s1["bn1"]["var"],
-            train=train, axis_name=axis_name,
-        )
-        hx = jax.nn.relu(hx)
+        if train and compute_dtype is not None:
+            hx, mn, vr = batch_norm_relu_train(
+                hx, d1["bn1"]["scale"], d1["bn1"]["bias"],
+                s1["bn1"]["mean"], s1["bn1"]["var"], axis_name=axis_name,
+            )
+        else:
+            hx, mn, vr = batch_norm(
+                hx, d1["bn1"]["scale"], d1["bn1"]["bias"], s1["bn1"]["mean"], s1["bn1"]["var"],
+                train=train, axis_name=axis_name,
+            )
+            hx = jax.nn.relu(hx)
         h1, upd = _conv_bn_relu(
             d1, s1, "conv2", "bn2", hx,
             train=train, axis_name=axis_name, compute_dtype=compute_dtype,
@@ -233,17 +262,18 @@ def apply(
     if "attn" in params:
         from igdm_tpu.ops.attention import spatial_self_attention
 
-        h3 = spatial_self_attention(params["attn"], h3)
+        h3 = spatial_self_attention(params["attn"], h3.astype(jnp.float32))
 
     up = conv_transpose2d(h3, params["up2"]["convt"]["w"], params["up2"]["convt"]["b"], stride=2)
     up, s_u2 = _block(params["up2"], state["up2"], up, names2, **kw)
 
     # crop skip to the upsampled size (identity for even H, W) and concat
+    # (fused-train blocks emit bf16; jnp promotes the concat as needed)
     hh, ww = up.shape[1], up.shape[2]
     cat = jnp.concatenate([up, h1[:, :hh, :ww, :]], axis=-1)
 
     out, s_u1 = _block(params["up1"], state["up1"], cat, names2, **kw)
-    eps = conv2d(out, params["final"]["w"], params["final"]["b"])
+    eps = conv2d(out.astype(jnp.float32), params["final"]["w"], params["final"]["b"])
 
     new_state = {"down1": s_d1, "down2": s_d2, "mid": s_mid, "up2": s_u2, "up1": s_u1}
     return eps, new_state

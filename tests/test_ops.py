@@ -110,3 +110,100 @@ def test_pallas_groupnorm_silu_grad_matches_reference():
     gp = jax.grad(lambda x: jnp.sum(fused_groupnorm_silu(x, scale, bias, 8, 1e-5, True) ** 2))(x)
     gr = jax.grad(lambda x: jnp.sum(_reference(x, scale, bias, 8, 1e-5) ** 2))(x)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), rtol=1e-4, atol=1e-5)
+
+
+def _bn_relu_composition(x, scale, bias, rm, rv, conv_bias):
+    y, m, v = batch_norm(
+        x + conv_bias.reshape(1, 1, 1, -1), scale, bias, rm, rv, train=True
+    )
+    return jax.nn.relu(y), m, v
+
+
+def _bn_relu_fixture(c=16, seed=7):
+    key = jax.random.PRNGKey(seed)
+    ks = [jax.random.fold_in(key, i) for i in range(6)]
+    x = jax.random.normal(ks[0], (4, 8, 8, c)) * 2.0 + 0.5
+    conv_bias = jax.random.normal(ks[1], (c,)) * 0.5
+    scale = 1.0 + 0.1 * jax.random.normal(ks[2], (c,))
+    bias = 0.1 * jax.random.normal(ks[3], (c,))
+    rm = 0.1 * jax.random.normal(ks[4], (c,))
+    rv = 1.0 + 0.1 * jax.random.uniform(ks[5], (c,))
+    return x, scale, bias, rm, rv, conv_bias
+
+
+def test_batch_norm_relu_train_matches_composition():
+    """Fused train-mode BN+ReLU == conv-bias-add -> batch_norm -> relu
+    (forward outputs AND running statistics), despite never adding the
+    bias to the activations (train-mode BN is shift-invariant)."""
+    from igdm_tpu.ops.nn import batch_norm_relu_train
+
+    x, scale, bias, rm, rv, conv_bias = _bn_relu_fixture()
+    want_y, want_m, want_v = _bn_relu_composition(x, scale, bias, rm, rv, conv_bias)
+    got_y, got_m, got_v = batch_norm_relu_train(
+        x, scale, bias, rm, rv, conv_bias=conv_bias
+    )
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v), rtol=1e-4, atol=1e-6)
+
+
+def test_batch_norm_relu_train_bias_invariance():
+    """y is bitwise independent of conv_bias; only the running mean moves
+    (by momentum * delta), and d(loss)/d(conv_bias) is exactly zero."""
+    from igdm_tpu.ops.nn import batch_norm_relu_train
+
+    x, scale, bias, rm, rv, conv_bias = _bn_relu_fixture(seed=8)
+    y1, m1, _ = batch_norm_relu_train(x, scale, bias, rm, rv, conv_bias=conv_bias)
+    y2, m2, _ = batch_norm_relu_train(x, scale, bias, rm, rv, conv_bias=conv_bias + 7.0)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    np.testing.assert_allclose(np.asarray(m2 - m1), 0.1 * 7.0, rtol=1e-5)
+
+    def loss(cb):
+        y, _, _ = batch_norm_relu_train(x, scale, bias, rm, rv, conv_bias=cb)
+        return jnp.sum(y**2)
+
+    g = jax.grad(loss)(conv_bias)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_batch_norm_relu_train_grads_match_autodiff():
+    """The hand-derived VJP matches autodiff of the unfused composition.
+    The bf16 x_hat residual bounds the agreement at ~1% of the gradient
+    scale (measured ~0.5% on the training shapes)."""
+    from igdm_tpu.ops.nn import batch_norm_relu_train
+
+    x, scale, bias, rm, rv, conv_bias = _bn_relu_fixture(seed=9)
+
+    def fused_loss(x, s, b):
+        y, _, _ = batch_norm_relu_train(x, s, b, rm, rv, conv_bias=conv_bias)
+        return jnp.sum(y**2)
+
+    def ref_loss(x, s, b):
+        y, _, _ = _bn_relu_composition(x, s, b, rm, rv, conv_bias)
+        return jnp.sum(y**2)
+
+    g_fused = jax.grad(fused_loss, argnums=(0, 1, 2))(x, scale, bias)
+    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(x, scale, bias)
+    for gf, gr, name in zip(g_fused, g_ref, ("dx", "dscale", "dbias")):
+        scale_ = float(jnp.max(jnp.abs(gr))) + 1e-8
+        err = float(jnp.max(jnp.abs(gf - gr)))
+        assert err <= 0.02 * scale_, f"{name}: {err} vs scale {scale_}"
+
+
+def test_batch_norm_relu_train_bf16_input():
+    """bf16 conv output (the mixed-precision production case): statistics
+    accumulate in f32 and y keeps the input dtype."""
+    from igdm_tpu.ops.nn import batch_norm_relu_train
+
+    x, scale, bias, rm, rv, conv_bias = _bn_relu_fixture(seed=10)
+    xb = x.astype(jnp.bfloat16)
+    y, m, v = batch_norm_relu_train(xb, scale, bias, rm, rv, conv_bias=conv_bias)
+    assert y.dtype == jnp.bfloat16
+    assert m.dtype == jnp.float32 and v.dtype == jnp.float32
+    want_y, want_m, want_v = _bn_relu_composition(
+        x.astype(jnp.bfloat16).astype(jnp.float32), scale, bias, rm, rv, conv_bias
+    )
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(want_y), rtol=0.05, atol=0.05
+    )
+    np.testing.assert_allclose(np.asarray(m), np.asarray(want_m), rtol=1e-3, atol=1e-4)
