@@ -21,7 +21,14 @@ import jax
 import jax.numpy as jnp
 
 from igdm_tpu.models.embeddings import timestep_embedding
-from igdm_tpu.ops.nn import conv2d, group_norm, max_pool_2x2, silu, upsample_bilinear_2x
+from igdm_tpu.ops.nn import (
+    conv2d,
+    group_norm,
+    group_norm_silu_train,
+    max_pool_2x2,
+    silu,
+    upsample_bilinear_2x,
+)
 
 TIME_DIM = 128
 
@@ -119,11 +126,24 @@ def init(
 def _apply_block(p, x, *, groups=8, use_pallas=None, compute_dtype=None):
     from igdm_tpu.ops.pallas.fused_groupnorm_silu import groupnorm_silu
 
+    if compute_dtype is not None and not use_pallas:
+        # mixed precision: bf16 conv (fwd and both backward matmuls at the
+        # MXU bf16 rate) straight into the fused GroupNorm+SiLU custom-VJP
+        # op — one-pass f32 statistics over the raw bf16 conv output (the
+        # conv bias participates and gets an exact gradient), bf16
+        # activations and cotangents end to end. ops/nn.group_norm_silu_train.
+        h = x
+        for cn, gn in (("conv1", "gn1"), ("conv2", "gn2")):
+            if cn not in p:
+                break
+            h = conv2d(h.astype(compute_dtype), p[cn]["w"].astype(compute_dtype))
+            h = group_norm_silu_train(
+                h, p[gn]["scale"], p[gn]["bias"], conv_bias=p[cn]["b"], groups=groups
+            )
+        return h
+
     def conv(x, cp):
         if compute_dtype is not None:
-            # mixed precision: conv (and its backward matmuls under grad) at
-            # the MXU bf16 rate; the f32 bias-add promotes the output so the
-            # GroupNorm statistics stay f32.
             return conv2d(x.astype(compute_dtype), cp["w"].astype(compute_dtype)).astype(
                 jnp.float32
             ) + cp["b"].reshape(1, 1, 1, -1)

@@ -234,6 +234,86 @@ def batch_norm_relu_train(
     return y, new_mean, new_var
 
 
+def _gn_silu_fwd_math(x, scale, bias, conv_bias, groups, eps):
+    n_, h_, w_, c = x.shape
+    cs = c // groups
+    xf = x.astype(jnp.float32) + conv_bias
+    g = xf.reshape(n_, h_, w_, groups, cs)
+    cnt = h_ * w_ * cs
+    # one multi-output reduction yields both moments per (sample, group)
+    s1 = jnp.sum(g, axis=(1, 2, 4))
+    s2 = jnp.sum(g * g, axis=(1, 2, 4))
+    mean = s1 / cnt
+    var = jnp.maximum(s2 / cnt - mean * mean, 0.0)
+    inv = lax.rsqrt(var + eps)  # (N, G)
+    x_hat = ((g - mean[:, None, None, :, None]) * inv[:, None, None, :, None]).reshape(
+        n_, h_, w_, c
+    )
+    z = x_hat * scale + bias
+    y = (z * jax.nn.sigmoid(z)).astype(x.dtype)
+    return y, x_hat, inv
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _gn_silu_core(x, scale, bias, conv_bias, groups, eps):
+    y, _, _ = _gn_silu_fwd_math(x, scale, bias, conv_bias, groups, eps)
+    return y
+
+
+def _gn_silu_core_fwd(x, scale, bias, conv_bias, groups, eps):
+    y, x_hat, inv = _gn_silu_fwd_math(x, scale, bias, conv_bias, groups, eps)
+    return y, (x_hat.astype(jnp.bfloat16), inv, scale, bias)
+
+
+def _gn_silu_core_bwd(groups, eps, res, dy):
+    x_hat_b, inv, scale, bias = res
+    n_, h_, w_, c = dy.shape
+    cs = c // groups
+    cnt = h_ * w_ * cs
+    x_hat = x_hat_b.astype(jnp.float32)
+    z = x_hat * scale + bias
+    sig = jax.nn.sigmoid(z)
+    dz = dy.astype(jnp.float32) * (sig * (1.0 + z * (1.0 - sig)))
+    dgamma = jnp.sum(dz * x_hat, axis=(0, 1, 2))
+    dbeta = jnp.sum(dz, axis=(0, 1, 2))
+    dxh = (dz * scale).reshape(n_, h_, w_, groups, cs)
+    xg = x_hat.reshape(n_, h_, w_, groups, cs)
+    r1 = jnp.sum(dxh, axis=(1, 2, 4)) / cnt  # (N, G)
+    r2 = jnp.sum(dxh * xg, axis=(1, 2, 4)) / cnt
+    dx = (
+        inv[:, None, None, :, None]
+        * (dxh - r1[:, None, None, :, None] - xg * r2[:, None, None, :, None])
+    ).reshape(n_, h_, w_, c)
+    dconv_bias = jnp.sum(dx, axis=(0, 1, 2))
+    return dx.astype(dy.dtype), dgamma, dbeta, dconv_bias
+
+
+_gn_silu_core.defvjp(_gn_silu_core_fwd, _gn_silu_core_bwd)
+
+
+def group_norm_silu_train(
+    x, scale, bias, *, conv_bias=None, groups: int = 8, eps: float = 1e-5
+):
+    """Fused GroupNorm+SiLU with a hand-derived minimal-pass VJP — the
+    mixed-precision training block for the 4-level U-Net family
+    (Conv -> GroupNorm -> swish, last_desperate_attempt/src/shared.jl:193-198).
+
+    Mirrors ``batch_norm_relu_train``: one-pass f32 statistics computed
+    directly over the raw (bf16) conv output, backward from a bf16
+    ``x_hat`` residual in two fused passes, activations and cotangents in
+    ``x.dtype`` end to end. Unlike train-mode BatchNorm, GroupNorm is NOT
+    shift-invariant to a per-channel bias (the bias varies within a group),
+    so ``conv_bias`` participates in the statistics and gets an exact
+    gradient (``d(conv_bias) = sum of dx over (N,H,W)`` since the bias
+    enters additively like ``x``).
+
+    Returns ``y`` with ``x.dtype``.
+    """
+    if conv_bias is None:
+        conv_bias = jnp.zeros_like(scale)
+    return _gn_silu_core(x, scale, bias, conv_bias, groups, eps)
+
+
 def group_norm(x, scale, bias, *, groups: int = 8, eps: float = 1e-5):
     """GroupNorm over channel groups (reference: Flux.GroupNorm(C, 8),
     last_desperate_attempt/src/shared.jl:195). Stateless — the norm of choice

@@ -207,3 +207,41 @@ def test_batch_norm_relu_train_bf16_input():
         np.asarray(y, np.float32), np.asarray(want_y), rtol=0.05, atol=0.05
     )
     np.testing.assert_allclose(np.asarray(m), np.asarray(want_m), rtol=1e-3, atol=1e-4)
+
+
+def test_group_norm_silu_train_matches_composition():
+    """Fused GN+SiLU (+conv bias in the statistics) == bias-add ->
+    group_norm -> silu, forward and all four gradients. GroupNorm is not
+    shift-invariant to a per-channel bias, so conv_bias gets an exact
+    gradient here (unlike batch_norm_relu_train's exact zero)."""
+    from igdm_tpu.ops.nn import group_norm, group_norm_silu_train
+
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (2, 8, 8, 32)) * 1.5 + 0.3
+    cb = jax.random.normal(jax.random.fold_in(key, 1), (32,)) * 0.4
+    s = 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(key, 2), (32,))
+    b = 0.1 * jax.random.normal(jax.random.fold_in(key, 3), (32,))
+
+    def ref(x, s, b, cb):
+        return silu(group_norm(x + cb, s, b, groups=8))
+
+    def fused(x, s, b, cb):
+        return group_norm_silu_train(x, s, b, conv_bias=cb, groups=8)
+
+    np.testing.assert_allclose(
+        np.asarray(fused(x, s, b, cb)), np.asarray(ref(x, s, b, cb)), rtol=1e-5, atol=1e-5
+    )
+    g_ref = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2), argnums=(0, 1, 2, 3))(x, s, b, cb)
+    g_fused = jax.grad(lambda *a: jnp.sum(fused(*a) ** 2), argnums=(0, 1, 2, 3))(x, s, b, cb)
+    for gr, gf, name in zip(g_ref, g_fused, ("dx", "dscale", "dbias", "dconv_bias")):
+        scale_ = float(jnp.max(jnp.abs(gr))) + 1e-8
+        err = float(jnp.max(jnp.abs(gf - gr)))
+        assert err <= 0.02 * scale_, f"{name}: {err} vs scale {scale_}"
+
+
+def test_group_norm_silu_train_bf16_keeps_dtype():
+    from igdm_tpu.ops.nn import group_norm_silu_train
+
+    x = jax.random.normal(jax.random.PRNGKey(12), (2, 4, 4, 16), jnp.bfloat16)
+    y = group_norm_silu_train(x, jnp.ones(16), jnp.zeros(16), groups=4)
+    assert y.dtype == jnp.bfloat16
