@@ -223,3 +223,91 @@ def test_dpmpp2m_deterministic(net):
     a = np.asarray(sample_dpmpp2m(params, state, jax.random.PRNGKey(3), **kw))
     b = np.asarray(sample_dpmpp2m(params, state, jax.random.PRNGKey(3), **kw))
     np.testing.assert_array_equal(a, b)
+
+
+def _delta_model_apply(cfg, c):
+    """Bayes-optimal eps-predictor for a delta data distribution at c:
+    eps_hat = (x - sqrt(ab) c)/sqrt(1-ab). The probability-flow ODE's
+    solution at t=0 is exactly c, and the ancestral posterior mean pulls
+    every trajectory to c — analytic ground truth for solver tests."""
+    from igdm_tpu.diffusion.schedules import alphas_cumprod, betas_for_config
+
+    ab = jnp.asarray(alphas_cumprod(betas_for_config(cfg)), jnp.float32)
+
+    def apply_fn(params, state, x, ts, train):
+        a = ab[ts - 1].reshape(-1, 1, 1, 1)
+        return (x - jnp.sqrt(a) * c) / jnp.sqrt(1.0 - a), state
+
+    return apply_fn
+
+
+def test_heun_converges_to_fixed_point():
+    """Same exact-solver check as DPM++(2M): with a constant-x0 model the
+    ODE solution is exactly c; Heun's trapezoidal corrector must land
+    there (this would expose any error in the EDM change of variables)."""
+    from igdm_tpu.sampling.ancestral import sample_heun
+
+    cfg = DiffusionConfig(num_steps=200)
+    c = 0.4321
+    out = sample_heun(
+        {}, {}, jax.random.PRNGKey(0), num_images=3, cfg=cfg,
+        num_sample_steps=10, apply_fn=_delta_model_apply(cfg, c),
+    )
+    o = np.asarray(out)
+    assert o.shape == (3, 32, 32, 1)
+    np.testing.assert_allclose(o, c, atol=5e-3)
+
+
+def test_heun_runs_on_real_model(net):
+    from igdm_tpu.sampling.ancestral import sample_heun
+
+    params, state = net
+    kw = dict(num_images=2, cfg=DiffusionConfig(num_steps=5), num_sample_steps=4)
+    out = sample_heun(params, state, jax.random.PRNGKey(2), **kw)
+    o = np.asarray(out)
+    assert o.shape == (2, 32, 32, 1)
+    assert np.isfinite(o).all() and o.min() >= -1.0 and o.max() <= 1.0
+    # deterministic: same key, same output
+    np.testing.assert_array_equal(
+        o, np.asarray(sample_heun(params, state, jax.random.PRNGKey(2), **kw))
+    )
+
+
+def test_inpaint_preserves_known_and_fills_unknown():
+    """With the delta-at-c model, the generated region must converge to c
+    while the known region stays (approximately, through the q-projection
+    at every step; exactly at t=0) the known content."""
+    from igdm_tpu.sampling.edit import sample_inpaint
+
+    cfg = DiffusionConfig(num_steps=50)
+    c = 0.5
+    known = jnp.full((2, 16, 16, 1), -0.75, jnp.float32)
+    mask = np.zeros((16, 16, 1), np.float32)
+    mask[:8] = 1.0  # top half known
+    out = np.asarray(
+        sample_inpaint(
+            {}, {}, jax.random.PRNGKey(0), known, mask,
+            cfg=cfg, apply_fn=_delta_model_apply(cfg, c),
+        )
+    )
+    assert out.shape == (2, 16, 16, 1)
+    np.testing.assert_allclose(out[:, :8], -0.75, atol=1e-5)  # known kept exactly
+    np.testing.assert_allclose(out[:, 8:], c, atol=0.05)  # unknown pulled to c
+
+
+def test_inpaint_resample_runs(net):
+    from igdm_tpu.sampling.edit import sample_inpaint
+
+    params, state = net
+    known = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    mask = np.ones((32, 32, 1), np.float32)
+    mask[8:24, 8:24] = 0.0
+    out = np.asarray(
+        sample_inpaint(
+            params, state, jax.random.PRNGKey(1), known, mask,
+            cfg=DiffusionConfig(num_steps=5), resample=2,
+        )
+    )
+    assert out.shape == (1, 32, 32, 1)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out[0, 0, 0, 0], 0.0, atol=1e-5)  # known corner
