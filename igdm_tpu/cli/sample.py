@@ -22,7 +22,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("n", nargs="?", type=int, default=16, help="number of samples (default 16)")
     p.add_argument("--timesteps", type=int, default=None, help="diffusion T override")
     p.add_argument(
-        "--sampler", choices=["auto", "ancestral", "ddim", "dpmpp", "textbook"], default="auto",
+        "--sampler", choices=["auto", "ancestral", "ddim", "dpmpp", "heun", "textbook"],
+        default="auto",
         help="auto reads the checkpoint: reference-exact ancestral for "
         "unet_small, textbook posterior for unet4",
     )

@@ -18,7 +18,7 @@ def sample_from_checkpoint(
     key,
     *,
     num_images: int = 16,
-    sampler: str = "auto",  # auto | ancestral | ddim | dpmpp | textbook
+    sampler: str = "auto",  # auto | ancestral | ddim | dpmpp | heun | textbook
     ddim_steps: int = 50,
     timesteps: int | None = None,
     prefer_ema: bool = False,
@@ -109,6 +109,14 @@ def sample_from_checkpoint(
         from igdm_tpu.sampling.ancestral import sample_dpmpp2m
 
         out = sample_dpmpp2m(
+            params, state, key, num_images=num_images, cfg=cfg,
+            num_sample_steps=ddim_steps, channels=channels, image_size=image_size,
+            model_kind=model_kind, apply_fn=apply_fn,
+        )
+    elif sampler == "heun":
+        from igdm_tpu.sampling.ancestral import sample_heun
+
+        out = sample_heun(
             params, state, key, num_images=num_images, cfg=cfg,
             num_sample_steps=ddim_steps, channels=channels, image_size=image_size,
             model_kind=model_kind, apply_fn=apply_fn,

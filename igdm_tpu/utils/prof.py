@@ -85,3 +85,68 @@ def summarize_trace(logdir: str, top: int = 25) -> list[tuple[str, float]]:
                     continue
                 ev[name] += e["dur"]
     return [(name, dur / 1e3) for name, dur in ev.most_common(top)]
+
+
+def classify_trace(
+    logdir: str, compiled_text: str, *, top: int = 400
+) -> dict[str, tuple[float, int]]:
+    """Bucket a profiled program's device time by what each fusion contains.
+
+    XLA's profiler names fusions opaquely (``fusion.602``,
+    ``multiply_add_fusion.314``); the compiled HLO (``jit_fn.lower(*args)
+    .compile().as_text()``) says what is inside each. Joining the two
+    attributes every microsecond to a hardware resource:
+
+    * ``"MXU (conv/dot fusion)"`` — fusions containing a convolution or dot
+    * ``"reduce fusion"`` — reductions (norm statistics, loss, wgrad sums)
+    * ``"copy/broadcast/convert"`` — pure data movement
+    * ``"elementwise fusion"`` — everything else (activation chains, masks)
+
+    Returns ``{bucket: (total_ms, op_count)}``. This is the tool behind the
+    training-step attribution in BASELINE.md (conv 65% / reduce 18% / ...),
+    which redirected round-2 optimization from the wrongly-suspected
+    BatchNorm statistics to the real elementwise+reduce tail.
+    """
+    import re
+
+    comp_ops: dict[str, set] = {}
+    cur = None
+    for line in compiled_text.splitlines():
+        mm = re.match(r"\s*(%[\w.\-]+|ENTRY [\w.\-]+|[\w.\-]+)\s.*{\s*$", line)
+        if mm and ("{" in line) and ("=" not in line):
+            cur = mm.group(1).lstrip("%").replace("ENTRY ", "")
+            comp_ops[cur] = set()
+            continue
+        if cur is None:
+            continue
+        for kind in ("convolution", "dot", "reduce", "scatter", "gather", "rng", "sort"):
+            if f"{kind}(" in line or line.strip().startswith(kind):
+                comp_ops[cur].add(kind)
+
+    fusion_target = {
+        m.group(1): m.group(2)
+        for m in re.finditer(
+            r"%?([\w.\-]+) = [^\n]*fusion\([^\n]*calls=%?([\w.\-]+)", compiled_text
+        )
+    }
+
+    buckets: dict[str, list] = {}
+    for name, ms in summarize_trace(logdir, top=top):
+        base = name.split("(")[0]
+        if base in ("0",) or base.startswith("jit_") or base.startswith("while"):
+            continue
+        kinds = comp_ops.get(fusion_target.get(base, ""), set())
+        if "convolution" in kinds or "dot" in kinds or base.startswith(("convolution", "dot")):
+            b = "MXU (conv/dot fusion)"
+        elif "reduce" in kinds or base.startswith(("reduce", "multiply_reduce", "convert_reduce")):
+            b = "reduce fusion"
+        elif "rng" in kinds or "sort" in kinds:
+            b = "rng/sort"
+        elif base.startswith(("copy", "broadcast", "convert", "bitcast", "tuple", "get-tuple")):
+            b = "copy/broadcast/convert"
+        else:
+            b = "elementwise fusion"
+        buckets.setdefault(b, [0.0, 0])
+        buckets[b][0] += ms
+        buckets[b][1] += 1
+    return {k: (v[0], v[1]) for k, v in buckets.items()}

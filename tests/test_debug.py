@@ -71,3 +71,27 @@ def test_summarize_trace(tmp_path):
     assert isinstance(ops, list)
     assert all(isinstance(n, str) and d >= 0 for n, d in ops)
     assert len(ops) > 0  # at least one device/runtime op recorded
+
+
+def test_classify_trace(tmp_path):
+    """classify_trace joins profiler times with the compiled HLO: a matmul
+    program must attribute time to the MXU bucket (or at minimum produce
+    non-negative, well-formed buckets on backends with coarser traces)."""
+    import jax
+    import jax.numpy as jnp
+
+    from igdm_tpu.utils.prof import classify_trace, profile_trace
+
+    def f(x):
+        return jnp.sum(jnp.dot(x, x) ** 2)
+
+    jf = jax.jit(f)
+    x = jnp.ones((512, 512))
+    compiled = jf.lower(x).compile().as_text()
+    float(jf(x))  # compile outside the trace
+    with profile_trace(str(tmp_path)):
+        float(jf(x))
+    buckets = classify_trace(str(tmp_path), compiled)
+    assert isinstance(buckets, dict)
+    for name, (ms, cnt) in buckets.items():
+        assert ms >= 0 and cnt >= 1, name
