@@ -685,3 +685,36 @@ def _sample_heun_impl(
 
     xe, _ = jax.lax.scan(body, xe, (ts, ts_next))
     return jnp.clip(xe, -1.0, 1.0)  # final alpha = 1 at t=0
+
+
+def sample_distilled(
+    params,
+    grid,
+    key,
+    *,
+    num_images: int = 16,
+    image_size: tuple = (32, 32),
+    cfg: DiffusionConfig | None = None,
+    channels: int = 1,
+    model_kind: str = "unet4",
+    model_state=None,
+):
+    """Sample from a progressively-distilled student
+    (training/distill.distill_ddpm): deterministic DDIM over the student's
+    boundary grid with the v-prediction parameterization. An N=8 or N=4
+    grid serves the full-T model's distribution in N model calls."""
+    from igdm_tpu.training.ddpm import make_apply_fn
+
+    cfg = cfg or DiffusionConfig()
+    grid = np.asarray(grid)
+    ts = grid[1:][::-1].astype(np.int32)       # N boundaries, descending, > 0
+    ts_prev = grid[:-1][::-1].astype(np.int32)  # ends at 0 (alpha_bar_prev = 1)
+    alpha_bar = _alpha_bar(cfg)
+    apply_fn = v_to_eps_apply_fn(make_apply_fn(model_kind, cfg.embed_dim), alpha_bar)
+    return _sample_ddim_impl(
+        params, model_state if model_state is not None else {}, key, alpha_bar,
+        jnp.asarray(ts.copy()), jnp.asarray(ts_prev.copy()),
+        num_images=num_images, image_size=tuple(image_size),
+        embed_dim=cfg.embed_dim, eta=0.0, channels=channels, model_kind=model_kind,
+        apply_fn=apply_fn,
+    )

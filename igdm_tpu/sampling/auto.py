@@ -78,6 +78,21 @@ def sample_from_checkpoint(
     channels = int(data_meta.get("channels", 1))
     image_size = tuple(data_meta.get("image_size", (32, 32)))
 
+    if "distill" in meta:  # progressively-distilled student: its own grid
+        from igdm_tpu.sampling.ancestral import sample_distilled
+
+        grid = meta["distill"]["grid"]
+        out = sample_distilled(
+            params, grid, key, num_images=num_images, cfg=cfg,
+            channels=channels, image_size=image_size, model_kind=model_kind,
+            model_state=state,
+        )
+        arr = np.asarray(out)
+        imgs01 = (arr[..., 0] + 1.0) / 2.0 if channels == 1 else (arr + 1.0) / 2.0
+        return imgs01, {
+            "model": model_kind, "T": len(grid) - 1, "sampler": "distilled",
+        }
+
     # v-prediction checkpoints (TrainConfig.objective="v"): adapt the model
     # to the eps interface once; every sampler below consumes eps.
     apply_fn = None

@@ -1,5 +1,5 @@
 from igdm_tpu.training.train_state import TrainState
 from igdm_tpu.training.lr_schedules import warmup_cosine_lr
-from igdm_tpu.training import ddpm, mlp_trainer
+from igdm_tpu.training import ddpm, distill, mlp_trainer
 
-__all__ = ["TrainState", "warmup_cosine_lr", "ddpm", "mlp_trainer"]
+__all__ = ["TrainState", "warmup_cosine_lr", "ddpm", "distill", "mlp_trainer"]
