@@ -87,6 +87,45 @@ def bench_train_step(batch: int = 64, T: int = 500, iters: int = 5, n_images: in
     return steps_per_epoch / best
 
 
+def bench_distilled(path: str, batch: int = 256, R: int = 20):
+    """Distilled-student serving throughput (8 deterministic steps/traj).
+
+    Timing per docs/design.md: R trajectories scanned INSIDE one program
+    (amortizes the relay dispatch), scalar-only fetch."""
+    import jax.lax as lax
+
+    from igdm_tpu.checkpoint.pytree_io import load_for_sampling
+    from igdm_tpu.config import DiffusionConfig, config_from_dict
+    from igdm_tpu.sampling.ancestral import make_distilled_sampler
+
+    params, _, meta = load_for_sampling(path, prefer_ema=False)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    cfg = config_from_dict(DiffusionConfig, meta.get("diff_cfg", {}))
+    grid = meta["distill"]["grid"]
+    fn = make_distilled_sampler(
+        params, grid, cfg=cfg, num_images=batch,
+        model_kind=meta.get("model", "unet4"),
+    )
+
+    @jax.jit
+    def multi(key):
+        def body(acc, i):
+            return acc + jnp.mean(fn(jax.random.fold_in(key, i))), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(R))
+        return acc
+
+    key = jax.random.PRNGKey(0)
+    _sync(multi(key))
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _sync(multi(jax.random.fold_in(key, 100 + i)))
+        times.append(time.perf_counter() - t0)
+    per_traj = min(times) / R
+    return batch / per_traj, len(grid) - 1
+
+
 def main():
     profile_dir = os.environ.get("IGDM_PROFILE")
     if profile_dir:
@@ -118,20 +157,26 @@ def main():
     baseline_samples_per_sec = 0.22
     # All three BASELINE.json metrics ride the single parsed JSON line
     # (VERDICT.md round-1 task 7): headline + secondary fields.
-    print(
-        json.dumps(
-            {
-                "metric": "ddpm_32x32_samples_per_sec_per_chip_T500",
-                "value": round(samples_per_sec, 3),
-                "unit": "samples/s",
-                "vs_baseline": round(samples_per_sec / baseline_samples_per_sec, 2),
-                "per_denoise_step_ms": round(per_step_ms, 4),
-                "train_steps_per_sec_batch64": round(train_steps_64, 2),
-                "train_steps_per_sec_batch128": round(train_steps_128, 2),
-                "train_imgs_per_sec_batch128": round(train_steps_128 * 128, 1),
-            }
-        )
+    record = {
+        "metric": "ddpm_32x32_samples_per_sec_per_chip_T500",
+        "value": round(samples_per_sec, 3),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / baseline_samples_per_sec, 2),
+        "per_denoise_step_ms": round(per_step_ms, 4),
+        "train_steps_per_sec_batch64": round(train_steps_64, 2),
+        "train_steps_per_sec_batch128": round(train_steps_128, 2),
+        "train_imgs_per_sec_batch128": round(train_steps_128 * 128, 1),
+    }
+    distilled_ckpt = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts", "distilled8_model.npz"
     )
+    if os.path.exists(distilled_ckpt):  # serving operating point (BASELINE.md)
+        try:
+            sps, n_steps = bench_distilled(distilled_ckpt)
+            record[f"distilled{n_steps}_samples_per_sec"] = round(sps, 1)
+        except Exception as e:  # bench must never fail on an optional metric
+            print(f"[bench] distilled bench skipped: {e}", file=sys.stderr)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -33,6 +33,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--per-image", action="store_true", help="also save generated_image_i.png per image")
     p.add_argument("--debug-nans", action="store_true", help="raise at the first NaN produced on device")
     p.add_argument("--ema", action="store_true", help="sample with the EMA weights if present")
+    p.add_argument(
+        "--label", type=int, default=None,
+        help="class id for conditional checkpoints (default: cycle all classes)",
+    )
+    p.add_argument(
+        "--guidance", type=float, default=2.0,
+        help="classifier-free guidance scale for conditional checkpoints",
+    )
     return p
 
 
@@ -57,6 +65,8 @@ def main(argv=None) -> int:
         ddim_steps=args.ddim_steps,
         timesteps=args.timesteps,
         prefer_ema=args.ema,
+        label=args.label,
+        guidance_scale=args.guidance,
     )
     save_sample_grid(imgs01, args.out, title="Generated Images")
     print(

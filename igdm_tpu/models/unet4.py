@@ -70,6 +70,7 @@ def init(
     *,
     levels: int = 4,
     mid_attn: bool = False,
+    num_classes: int | None = None,
 ):
     """Initialize the params pytree.
 
@@ -82,6 +83,12 @@ def init(
     mid_attn: residual spatial self-attention after the bottleneck block
       (standard DDPM practice for the 64x64 stretch config; absent in the
       reference, SURVEY.md section 5.7 — so off by default for parity).
+    num_classes: class-conditional generation (absent in the reference —
+      all three model generations are unconditional). Adds a zero-init
+      embedding table of num_classes + 1 rows (row num_classes is the
+      learned NULL token for classifier-free guidance, Ho & Salimans
+      2022); zero init makes the conditional model exactly equal to the
+      unconditional one at initialization.
     """
     mults = [2**i for i in range(levels + 1)]  # 1, 2, ..., 2^levels (bottleneck)
     chans = [base_ch * m for m in mults]
@@ -91,6 +98,10 @@ def init(
             "dense2": _dense(jax.random.fold_in(key, 2), 256, 128),
         }
     }
+    if num_classes is not None:
+        params["class_emb"] = {
+            "table": jnp.zeros((num_classes + 1, time_dim), jnp.float32)
+        }
     cin = in_channels
     for i in range(levels):  # down1..downL
         c = chans[i]
@@ -177,14 +188,26 @@ def apply(
     time_dim: int = TIME_DIM,
     use_pallas: bool | None = None,
     compute_dtype=None,
+    labels=None,
 ):
     """Forward pass: x (B,H,W,C), ts (B,) integer timesteps -> (B,H,W,1).
 
     ``use_pallas``: route GroupNorm+SiLU through the fused Pallas kernel
     (default: auto — on for TPU backends).
     ``compute_dtype``: jnp.bfloat16 for mixed-precision convs (f32 master
-    params and GroupNorm statistics)."""
+    params and GroupNorm statistics).
+    ``labels``: (B,) int class ids for a class-conditional model (params
+    built with ``num_classes``); the learned embedding adds to the raw
+    timestep embedding before the time MLP. ``None`` on a conditional
+    model means the NULL token (last table row) — the unconditional
+    branch of classifier-free guidance."""
     raw = timestep_embedding(ts, time_dim)  # (B, time_dim)
+    if "class_emb" in params:
+        table = params["class_emb"]["table"]
+        if labels is None:
+            raw = raw + table[-1]
+        else:
+            raw = raw + jnp.take(table, labels, axis=0)
     t1 = params["time_mlp"]["dense1"]
     t2 = params["time_mlp"]["dense2"]
     tfeat = silu(jnp.dot(raw, t1["w"], preferred_element_type=jnp.float32) + t1["b"])

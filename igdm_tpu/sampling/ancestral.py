@@ -687,6 +687,52 @@ def _sample_heun_impl(
     return jnp.clip(xe, -1.0, 1.0)  # final alpha = 1 at t=0
 
 
+def make_distilled_sampler(
+    params,
+    grid,
+    *,
+    cfg: DiffusionConfig | None = None,
+    num_images: int = 256,
+    image_size: tuple = (32, 32),
+    channels: int = 1,
+    model_kind: str = "unet4",
+    model_state=None,
+    compute_dtype=None,
+):
+    """Compile a serving-style sampler for a progressively-distilled student
+    (training/distill.distill_ddpm): weights baked in as XLA constants,
+    ``fn(key) -> images`` in ``len(grid)-1`` deterministic model calls.
+
+    The distilled serving path is the production low-latency configuration:
+    an 8-step student replaces the reference's T-step host loop
+    (src/generate_images.jl:231-245) with 8 fused device steps.
+    compute_dtype=jnp.bfloat16 runs the U-Net convs at the MXU bf16 rate
+    with the DDIM update rule kept in f32.
+    """
+    from igdm_tpu.training.ddpm import make_apply_fn
+
+    cfg = cfg or DiffusionConfig()
+    grid = np.asarray(grid)
+    ts = jnp.asarray(grid[1:][::-1].copy().astype(np.int32))
+    ts_prev = jnp.asarray(grid[:-1][::-1].copy().astype(np.int32))
+    alpha_bar = _alpha_bar(cfg)
+    apply_fn = v_to_eps_apply_fn(
+        make_apply_fn(model_kind, cfg.embed_dim, compute_dtype=compute_dtype), alpha_bar
+    )
+    mstate = model_state if model_state is not None else {}
+
+    @jax.jit
+    def fn(key):
+        return _sample_ddim_impl(
+            params, mstate, key, alpha_bar, ts, ts_prev,
+            num_images=num_images, image_size=tuple(image_size),
+            embed_dim=cfg.embed_dim, eta=0.0, channels=channels,
+            model_kind=model_kind, apply_fn=apply_fn,
+        )
+
+    return fn
+
+
 def sample_distilled(
     params,
     grid,

@@ -22,6 +22,8 @@ def sample_from_checkpoint(
     ddim_steps: int = 50,
     timesteps: int | None = None,
     prefer_ema: bool = False,
+    label: int | None = None,
+    guidance_scale: float = 2.0,
 ):
     """Load any checkpoint and sample from it.
 
@@ -32,6 +34,9 @@ def sample_from_checkpoint(
         reference-exact ancestral sampler.
       * modern (gen-3) checkpoints (meta has modern_cfg) -> sigma-schedule
         sampler with the TRAINING schedule and stored mu/sigma.
+      * class-conditional checkpoints (meta has ``conditional``) ->
+        classifier-free-guided DDIM at ``guidance_scale``; ``label`` fixes
+        one class for every image, None cycles through all classes.
       * DDPM checkpoints -> schedule/model read from metadata; 'auto' picks
         the reference-exact ancestral sampler for unet_small and the textbook
         posterior sampler for unet4.
@@ -91,6 +96,28 @@ def sample_from_checkpoint(
         imgs01 = (arr[..., 0] + 1.0) / 2.0 if channels == 1 else (arr + 1.0) / 2.0
         return imgs01, {
             "model": model_kind, "T": len(grid) - 1, "sampler": "distilled",
+        }
+
+    if "conditional" in meta:  # classifier-free-guided sampling
+        from igdm_tpu.sampling.guided import sample_cfg
+
+        num_classes = int(meta["conditional"]["num_classes"])
+        lab = (
+            np.full((num_images,), int(label) % num_classes)
+            if label is not None
+            else np.arange(num_images) % num_classes
+        )
+        out = sample_cfg(
+            params, key, jnp.asarray(lab), guidance_scale=guidance_scale,
+            cfg=cfg, num_sample_steps=ddim_steps, image_size=image_size,
+            channels=channels,
+            objective=(meta.get("train_cfg") or {}).get("objective", "eps"),
+        )
+        arr = np.asarray(out)
+        imgs01 = (arr[..., 0] + 1.0) / 2.0 if channels == 1 else (arr + 1.0) / 2.0
+        return imgs01, {
+            "model": model_kind, "T": cfg.num_steps, "sampler": "cfg",
+            "guidance_scale": guidance_scale, "labels": lab.tolist(),
         }
 
     # v-prediction checkpoints (TrainConfig.objective="v"): adapt the model

@@ -241,6 +241,7 @@ def distill_ddpm(
     key=None,
     log=print,
     model_state=None,
+    on_phase_end=None,
 ):
     """Progressively distill a trained model down to ``phases[-1]`` steps.
 
@@ -256,6 +257,13 @@ def distill_ddpm(
         "unet_small" (BatchNorm runs in eval mode with its imported
         running statistics; distillation is fine-tuning, so this is the
         standard frozen-statistics choice).
+      on_phase_end: optional callback ``(n_steps, student_params,
+        student_grid)`` invoked after each halving phase, e.g. to
+        snapshot/evaluate the ladder. Note the END of the ladder is the
+        servable model; with a short per-phase budget the mid-ladder
+        students are unconverged waypoints (measured: the final 8-step
+        student beats the 64/32/16-step snapshots on every quality
+        metric — BASELINE.md).
 
     Returns (student_params, student_grid, losses_per_phase) — sample with
     :func:`igdm_tpu.sampling.ancestral.sample_distilled`.
@@ -323,4 +331,6 @@ def distill_ddpm(
         losses_per_phase.append(phase_losses)
         teacher = jax.tree_util.tree_map(jnp.array, student)
         teacher_obj = "v"
+        if on_phase_end is not None:
+            on_phase_end(n, student, sgrid)
     return student, grids[-1][0], losses_per_phase

@@ -57,11 +57,16 @@ def test_distill_end_to_end_tiny():
     imgs = jax.random.uniform(
         jax.random.PRNGKey(1), (16, 16, 16, 1), jnp.float32, -1.0, 1.0
     )
+    snapshots = []
     student, grid, losses = distill_ddpm(
         params, imgs, diff_cfg=cfg, phases=(8, 4), steps_per_phase=30,
         convert_steps=30, batch_size=8, model_kind="unet4", compute_dtype=None,
         steps_per_dispatch=15, log=None,
+        on_phase_end=lambda n, p, g: snapshots.append((n, p, list(g))),
     )
+    # every intermediate student snapshotted with its own grid
+    assert [n for n, _, _ in snapshots] == [8, 4]
+    assert len(snapshots[0][2]) == 9 and snapshots[1][2] == list(grid)
     # eps->v conversion pre-phase + the two halving phases
     assert len(losses) == 3 and all(np.isfinite(l).all() for l in losses)
     for phase in losses:  # trained vs untrained: end below start
@@ -74,6 +79,27 @@ def test_distill_end_to_end_tiny():
     o = np.asarray(out)
     assert o.shape == (2, 16, 16, 1)
     assert np.isfinite(o).all() and o.min() >= -1.0 and o.max() <= 1.0
+
+
+def test_make_distilled_sampler_matches_sample_distilled():
+    """The baked serving sampler is the same function as sample_distilled
+    (weights as XLA constants change nothing numerically in f32)."""
+    from igdm_tpu.models import unet4
+    from igdm_tpu.sampling.ancestral import make_distilled_sampler, sample_distilled
+
+    cfg = DiffusionConfig(num_steps=32)
+    params = unet4.init(jax.random.PRNGKey(0), base_ch=8)
+    grid = [0, 8, 16, 24, 32]
+    key = jax.random.PRNGKey(3)
+    ref = sample_distilled(
+        params, grid, key, num_images=2, image_size=(16, 16), cfg=cfg,
+        model_kind="unet4",
+    )
+    fn = make_distilled_sampler(
+        params, grid, cfg=cfg, num_images=2, image_size=(16, 16),
+        model_kind="unet4",
+    )
+    np.testing.assert_allclose(np.asarray(fn(key)), np.asarray(ref), atol=1e-6)
 
 
 def test_distilled_checkpoint_auto_dispatch(tmp_path):
