@@ -18,7 +18,7 @@ print("cluster sizes:", np.bincount(labels, minlength=K).tolist(), flush=True)
 
 diff_cfg = DiffusionConfig(num_steps=500, schedule="cosine")
 train_cfg = TrainConfig(
-    epochs=4800, batch_size=64, lr=2e-4, patience=10_000, min_delta=0.0,
+    epochs=1800, batch_size=64, lr=2e-4, patience=10_000, min_delta=0.0,
     ema_decay=0.9995, compute_dtype="bfloat16", epochs_per_dispatch=25,
 )
 t0 = time.time()

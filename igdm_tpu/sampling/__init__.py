@@ -1,19 +1,25 @@
 from igdm_tpu.sampling.ancestral import (
     sample_ddpm,
     sample_ddim,
+    sample_distilled,
     sample_dpmpp2m,
     sample_heun,
     sample_karras,
     sample_with_sigmas,
 )
 from igdm_tpu.sampling.edit import sample_inpaint
+from igdm_tpu.sampling.guided import sample_cfg
+from igdm_tpu.sampling.superres import sample_superres
 
 __all__ = [
+    "sample_cfg",
     "sample_ddpm",
     "sample_ddim",
+    "sample_distilled",
     "sample_dpmpp2m",
     "sample_heun",
     "sample_inpaint",
     "sample_karras",
+    "sample_superres",
     "sample_with_sigmas",
 ]

@@ -1,5 +1,8 @@
 from igdm_tpu.training.train_state import TrainState
 from igdm_tpu.training.lr_schedules import warmup_cosine_lr
-from igdm_tpu.training import ddpm, distill, mlp_trainer
+from igdm_tpu.training import conditional, ddpm, distill, mlp_trainer, superres
 
-__all__ = ["TrainState", "warmup_cosine_lr", "ddpm", "distill", "mlp_trainer"]
+__all__ = [
+    "TrainState", "warmup_cosine_lr", "conditional", "ddpm", "distill",
+    "mlp_trainer", "superres",
+]

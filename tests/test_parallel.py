@@ -203,3 +203,43 @@ print("RANK", jax.process_index(), "OK")
     for rank, (p, (out, err)) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{err[-2000:]}"
         assert f"RANK {rank} OK" in out
+
+
+def test_data_parallel_conditional_epoch_matches_single_device():
+    """The conditional (label-dropout) trainer under a data mesh computes the
+    same loss as unsharded — labels ride the same sharded batch axis."""
+    from igdm_tpu.config import DiffusionConfig, TrainConfig
+    from igdm_tpu.models import unet4
+    from igdm_tpu.training.conditional import build_cond_epoch_fn
+    from igdm_tpu.training.ddpm import make_optimizer
+    from igdm_tpu.training.train_state import TrainState
+
+    diff = DiffusionConfig(num_steps=5)
+    tr = TrainConfig(batch_size=8)
+    imgs = jax.random.normal(jax.random.PRNGKey(3), (32, 16, 16, 1), jnp.float32)
+    labels = jnp.arange(32, dtype=jnp.int32) % 4
+
+    def run(mesh):
+        params = unet4.init(jax.random.PRNGKey(0), base_ch=8, num_classes=4)
+        tx = make_optimizer(tr)
+        state = TrainState(
+            params=params, model_state={}, opt_state=tx.init(params),
+            step=jnp.asarray(0, jnp.int32), rng=jax.random.PRNGKey(1),
+            ema_params=None,
+        )
+        epoch_fn = build_cond_epoch_fn(tx, diff, tr.batch_size, 32, 4)
+        x, lab = imgs, labels
+        if mesh is not None:
+            x = shard_batch(mesh, x)
+            lab = shard_batch(mesh, lab)
+            state = state.replace(
+                params=replicate_tree(mesh, state.params),
+                opt_state=replicate_tree(mesh, state.opt_state),
+            )
+        state, loss = epoch_fn(state, x, lab)
+        return float(loss)
+
+    loss_single = run(None)
+    loss_sharded = run(make_mesh(8))
+    assert np.isfinite(loss_single) and np.isfinite(loss_sharded)
+    assert abs(loss_single - loss_sharded) < 1e-4
