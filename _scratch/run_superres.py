@@ -21,12 +21,12 @@ print("HR dataset:", hr.shape, flush=True)
 
 diff_cfg = DiffusionConfig(num_steps=500, schedule="cosine")
 train_cfg = TrainConfig(
-    epochs=600, batch_size=64, lr=2e-4, patience=10_000, min_delta=0.0,
+    epochs=1500, batch_size=64, lr=2e-4, patience=10_000, min_delta=0.0,
     ema_decay=0.9995, compute_dtype="bfloat16", epochs_per_dispatch=25,
 )
 t0 = time.time()
 res = train_superres(
-    hr, 2, diff_cfg, train_cfg, base_ch=32,
+    hr, 4, diff_cfg, train_cfg, base_ch=32,
     out_dir="/root/repo/artifacts", save_final="superres_model", log=None,
 )
 print(f"trained {res.epochs_run} epochs in {time.time()-t0:.0f}s, "
@@ -34,10 +34,13 @@ print(f"trained {res.epochs_run} epochs in {time.time()-t0:.0f}s, "
 
 params, _, meta = load_for_sampling("artifacts/superres_model.npz", prefer_ema=True)
 params = jax.tree_util.tree_map(jnp.asarray, params)
-lo = make_lowres(jnp.asarray(hr[:16]), 2)
+lo = make_lowres(jnp.asarray(hr[:16]), 4)
 out = sample_superres(params, lo, jax.random.PRNGKey(3), cfg=diff_cfg,
-                      num_sample_steps=50)
+                      factor=4, num_sample_steps=50)
 sr = np.asarray(out)
+out_eta = sample_superres(params, lo, jax.random.PRNGKey(3), cfg=diff_cfg,
+                          factor=4, num_sample_steps=50, eta=1.0)
+sr_eta = np.asarray(out_eta)
 
 from igdm_tpu.training.superres import upsample_to
 bicubic = np.clip(np.asarray(upsample_to(lo, (64, 64))), -1, 1)
@@ -46,7 +49,8 @@ def psnr(a, b):
     mse = np.mean((a - b) ** 2)  # signals span [-1,1] -> peak-to-peak 2
     return float(10 * np.log10(4.0 / mse))
 
-row = {"psnr_sr3": psnr(sr, hr[:16]), "psnr_bicubic": psnr(bicubic, hr[:16]),
+row = {"psnr_sr3_ddim": psnr(sr, hr[:16]), "psnr_sr3_eta1": psnr(sr_eta, hr[:16]),
+       "psnr_bicubic": psnr(bicubic, hr[:16]),
        "wall_s": round(time.time() - t0, 1)}
 grid = np.concatenate([ (bicubic[:8,...,0]+1)/2, (sr[:8,...,0]+1)/2,
                         (hr[:8,...,0]+1)/2 ])

@@ -43,6 +43,30 @@ def test_train_superres_smoke(tmp_path):
     assert meta["superres"] == {"factor": 2}
 
 
+def test_upscale_cli(tmp_path, monkeypatch):
+    """End-to-end CLI: train a tiny upscaler, upscale a PNG, check output."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.image as mpimg
+
+    from igdm_tpu.cli.upscale import main as upscale_main
+    from igdm_tpu.training.superres import train_superres
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(-1, 1, (16, 16, 16, 1)).astype(np.float32)
+    res = train_superres(
+        imgs, 2, DiffusionConfig(num_steps=8),
+        TrainConfig(epochs=2, batch_size=8, patience=100),
+        base_ch=8, out_dir=str(tmp_path), log=None,
+    )
+    png = str(tmp_path / "lowres.png")
+    mpimg.imsave(png, rng.uniform(0, 1, (8, 8)), cmap="gray")
+    monkeypatch.chdir(tmp_path)
+    rc = upscale_main([res.checkpoints[0], png, "--steps", "4", "--out", "up.png"])
+    assert rc == 0 and (tmp_path / "up.png").exists()
+
+
 def test_sample_superres_shape_determinism_and_conditioning():
     from igdm_tpu.models import unet4
     from igdm_tpu.sampling.superres import sample_superres
