@@ -243,3 +243,41 @@ def test_data_parallel_conditional_epoch_matches_single_device():
     loss_sharded = run(make_mesh(8))
     assert np.isfinite(loss_single) and np.isfinite(loss_sharded)
     assert abs(loss_single - loss_sharded) < 1e-4
+
+
+def test_data_parallel_distill_step_matches_single_device():
+    """One distillation dispatch under a data mesh == unsharded: the
+    teacher's two DDIM steps, the student update, and the optax step all
+    ride the sharded batch axis (params replicated)."""
+    import optax
+
+    from igdm_tpu.config import DiffusionConfig
+    from igdm_tpu.models import unet4
+    from igdm_tpu.training.distill import _phase_grids, make_distill_step_fn
+
+    diff = DiffusionConfig(num_steps=32)
+    params = unet4.init(jax.random.PRNGKey(0), base_ch=8)
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (16, 16, 16, 1), jnp.float32, -1, 1)
+    (sgrid, tgrid), = _phase_grids(32, (4,))
+
+    def run(mesh):
+        tx = optax.adam(1e-4)
+        student = jax.tree_util.tree_map(jnp.array, params)
+        opt_state = tx.init(student)
+        fn = make_distill_step_fn(
+            tx, diff, 8, sgrid, tgrid, "eps", model_kind="unet4",
+            compute_dtype=None, steps_per_dispatch=4,
+        )
+        x, st, opt = imgs, student, opt_state
+        if mesh is not None:
+            x = shard_batch(mesh, x)
+            st = replicate_tree(mesh, st)
+            opt = replicate_tree(mesh, opt)
+        _, _, losses = fn(st, opt, replicate_tree(mesh, params) if mesh else params,
+                          x, jax.random.PRNGKey(2), jnp.asarray(0, jnp.int32))
+        return np.asarray(losses)
+
+    a = run(None)
+    b = run(make_mesh(8))
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
