@@ -67,9 +67,17 @@ def main(argv=None) -> int:
     elif args.image:
         import matplotlib.image as mpimg
 
-        img = np.asarray(mpimg.imread(args.image), np.float32)
+        img = np.asarray(mpimg.imread(args.image))
+        if img.dtype.kind in "ui":  # JPEG/16-bit PNG decode to integers
+            img = img.astype(np.float32) / np.iinfo(img.dtype).max
+        img = img.astype(np.float32)
         if img.ndim == 3:
             img = img[..., :3].mean(axis=-1)  # grayscale
+        if img.min() < 0.0 or img.max() > 1.0:
+            raise SystemExit(
+                f"{args.image}: pixel values span [{img.min():.3g}, {img.max():.3g}] "
+                "— expected a [0, 1] image"
+            )
         lowres01 = img[None, :, :, None]
     else:
         raise SystemExit("provide an input PNG or --dataset (see --help)")

@@ -71,6 +71,7 @@ def init(
     levels: int = 4,
     mid_attn: bool = False,
     num_classes: int | None = None,
+    out_channels: int | None = None,
 ):
     """Initialize the params pytree.
 
@@ -89,6 +90,10 @@ def init(
       learned NULL token for classifier-free guidance, Ho & Salimans
       2022); zero init makes the conditional model exactly equal to the
       unconditional one at initialization.
+    out_channels: width of the prediction head. Defaults to ``in_channels``
+      (epsilon/v/x0 targets have the image's channel count). Super-resolution
+      models whose input is ``concat(x_t, lowres)`` must pass it explicitly
+      (``in_channels=2C, out_channels=C``).
     """
     mults = [2**i for i in range(levels + 1)]  # 1, 2, ..., 2^levels (bottleneck)
     chans = [base_ch * m for m in mults]
@@ -130,7 +135,8 @@ def init(
             "tbias": _dense(jax.random.fold_in(key, 90 + i), 128, skip_c),
         }
         c_above = skip_c
-    params["final"] = _conv(jax.random.fold_in(key, 105), 1, 1, chans[0], 1, bias=False)
+    cout = in_channels if out_channels is None else out_channels
+    params["final"] = _conv(jax.random.fold_in(key, 105), 1, 1, chans[0], cout, bias=False)
     return params
 
 
@@ -190,7 +196,7 @@ def apply(
     compute_dtype=None,
     labels=None,
 ):
-    """Forward pass: x (B,H,W,C), ts (B,) integer timesteps -> (B,H,W,1).
+    """Forward pass: x (B,H,W,C), ts (B,) integer timesteps -> (B,H,W,out_channels).
 
     ``use_pallas``: route GroupNorm+SiLU through the fused Pallas kernel
     (default: auto — on for TPU backends).

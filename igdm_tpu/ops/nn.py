@@ -163,11 +163,16 @@ def _bn_relu_core_bwd(eps, axis_name, res, cts):
     dz = jnp.where(z_pos, dy.astype(jnp.float32), 0.0)
     dbeta = jnp.sum(dz, axis=(0, 1, 2))
     dgamma = jnp.sum(dz * x_hat, axis=(0, 1, 2))
+    # dx needs GLOBAL reduction terms under axis_name (n is the global
+    # count), but the returned parameter grads stay LOCAL sums — the same
+    # convention autodiff of the unfused path yields, so callers that
+    # psum/pmean their grad tree treat both paths identically.
+    dbeta_g, dgamma_g = dbeta, dgamma
     if axis_name is not None:
-        dbeta = lax.psum(dbeta, axis_name)
-        dgamma = lax.psum(dgamma, axis_name)
+        dbeta_g = lax.psum(dbeta, axis_name)
+        dgamma_g = lax.psum(dgamma, axis_name)
     k = scale * inv
-    dx = (k * (dz - dbeta / n - x_hat * (dgamma / n))).astype(dy.dtype)
+    dx = (k * (dz - dbeta_g / n - x_hat * (dgamma_g / n))).astype(dy.dtype)
     return dx, dgamma, dbeta
 
 
@@ -211,9 +216,12 @@ def batch_norm_relu_train(
       convs and the returning cotangents stay bf16.
 
     Under ``shard_map``/``pmap`` pass ``axis_name`` to make the statistics
-    (forward) and the reduction terms (backward) global, matching
-    ``batch_norm``'s cross-replica semantics. Under plain jit+sharding the
-    reductions are already global and XLA inserts the collectives.
+    (forward) and the dx reduction terms (backward) global, matching
+    ``batch_norm``'s cross-replica semantics. The returned ``scale``/``bias``
+    grads stay LOCAL sums — the same convention autodiff of the unfused
+    path yields — so combine the grad tree (psum/pmean) once, uniformly.
+    Under plain jit+sharding the reductions are already global and XLA
+    inserts the collectives.
 
     Gradients do NOT flow through the returned running statistics (they are
     optimizer-invisible aux state everywhere in this framework, matching

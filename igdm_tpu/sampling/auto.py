@@ -75,7 +75,19 @@ def sample_from_checkpoint(
         return imgs01, {"model": "unet4(modern)", "T": cfg4.num_steps, "sampler": "sigma"}
 
     cfg = config_from_dict(DiffusionConfig, meta.get("diff_cfg", {}))
-    if timesteps:
+    if timesteps and timesteps != cfg.num_steps:
+        # A distilled student's step grid holds indices into the ORIGINAL
+        # training schedule, and a conditional checkpoint's guided sampler
+        # rebuilds the training schedule from diff_cfg — overriding T for
+        # either silently mis-indexes (jnp clamps out-of-bounds gathers)
+        # instead of erroring, so refuse up front.
+        if "distill" in meta or "conditional" in meta:
+            kind = "distilled" if "distill" in meta else "conditional"
+            raise ValueError(
+                f"--timesteps {timesteps} conflicts with this {kind} checkpoint's "
+                f"training schedule (T={cfg.num_steps}); the override is only valid "
+                "for plain DDPM checkpoints. Use --ddim-steps to control sampling cost."
+            )
         import dataclasses
 
         cfg = dataclasses.replace(cfg, num_steps=timesteps)

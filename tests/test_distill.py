@@ -128,3 +128,37 @@ def test_distilled_checkpoint_auto_dispatch(tmp_path):
     assert info["sampler"] == "distilled" and info["T"] == 4
     assert imgs01.shape == (2, 32, 32)
     assert np.isfinite(imgs01).all()
+
+
+def test_distilled_checkpoint_rejects_timesteps_override(tmp_path):
+    """ADVICE r2: a distilled student's grid indexes the ORIGINAL training
+    schedule; a --timesteps override would silently clamp out-of-bounds
+    gathers instead of erroring. sample_from_checkpoint must refuse."""
+    import json
+
+    import pytest
+
+    from igdm_tpu.checkpoint.pytree_io import _flatten_with_paths
+    from igdm_tpu.models import unet4
+    from igdm_tpu.sampling.auto import sample_from_checkpoint
+
+    params = unet4.init(jax.random.PRNGKey(0), base_ch=8)
+    payload = {
+        f"params/{k}": np.asarray(v) for k, v in _flatten_with_paths(params).items()
+    }
+    meta = {
+        "model": "unet4",
+        "diff_cfg": {"num_steps": 32},
+        "train_cfg": {"objective": "v"},
+        "distill": {"grid": [0, 8, 16, 24, 32], "objective": "v"},
+    }
+    payload["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    path = str(tmp_path / "student.npz")
+    np.savez(path, **payload)
+    with pytest.raises(ValueError, match="distilled"):
+        sample_from_checkpoint(path, jax.random.PRNGKey(1), num_images=2, timesteps=8)
+    # matching T is a no-op, not an error
+    imgs01, _ = sample_from_checkpoint(
+        path, jax.random.PRNGKey(1), num_images=2, timesteps=32
+    )
+    assert imgs01.shape == (2, 32, 32)

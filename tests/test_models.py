@@ -165,3 +165,22 @@ def test_unet4_mid_attention_forward_and_grad():
     proj_g = float(jnp.abs(g["attn"]["proj"]["w"]).max())
     assert proj_g > 0.0  # proj always gets gradient through the residual
     assert np.isfinite(qkv_g)
+
+
+def test_unet4_multichannel_head_matches_input_channels():
+    """ADVICE r2 (medium): the prediction head must default to the image's
+    channel count — a (B,H,W,1) output silently broadcast against (B,H,W,C)
+    targets in every conditional/SR loss. out_channels overrides it for
+    concat-conditioned inputs (SR3: in=2C, out=C)."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    ts = jnp.array([1, 4])
+
+    p = unet4.init(key, in_channels=3, base_ch=8)
+    out = unet4.apply(p, x, ts, final_sigmoid=False)
+    assert out.shape == (2, 16, 16, 3)
+
+    p_sr = unet4.init(key, in_channels=2, base_ch=8, out_channels=1)
+    x2 = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 2))
+    out_sr = unet4.apply(p_sr, x2, ts, final_sigmoid=False)
+    assert out_sr.shape == (2, 16, 16, 1)

@@ -72,7 +72,9 @@ def test_sample_superres_shape_determinism_and_conditioning():
     from igdm_tpu.sampling.superres import sample_superres
 
     cfg = DiffusionConfig(num_steps=16)
-    params = unet4.init(jax.random.PRNGKey(0), in_channels=2, base_ch=8)
+    # in_channels = concat(x_t, cond) = 2C, prediction head = C (the SR3
+    # layout train_superres uses; out_channels defaults to in_channels)
+    params = unet4.init(jax.random.PRNGKey(0), in_channels=2, base_ch=8, out_channels=1)
     key = jax.random.PRNGKey(1)
     lo_a = jax.random.uniform(jax.random.PRNGKey(2), (2, 8, 8, 1), jnp.float32, -1, 1)
     lo_b = -lo_a
