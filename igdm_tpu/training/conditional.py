@@ -15,8 +15,6 @@ classifier-free guidance (Ho & Salimans 2022).
 
 from __future__ import annotations
 
-import time
-from functools import partial
 from typing import Callable
 
 import jax
@@ -62,75 +60,34 @@ def build_cond_epoch_fn(
     objective: str = "eps",
     epochs_per_dispatch: int = 1,
 ) -> Callable:
-    """Compile one epoch: ``epoch_fn(state, imgs, labels) -> (state, loss)``.
+    """Compile one epoch: ``epoch_fn(state, imgs, labels) -> (state, loss)``
+    — the scanned-epoch engine specialized with label-dropout conditioning
+    (multi-epoch dispatch and RNG derivation identical to training/ddpm.py)."""
+    from igdm_tpu.training.engine import build_scanned_epoch
 
-    With ``epochs_per_dispatch`` > 1 the returned function scans k epochs
-    inside ONE jitted call and returns the per-epoch loss vector —
-    bit-identical numbers to k sequential calls (per-epoch RNG derives from
-    ``state.step``), minus k-1 host round-trips (training/ddpm.py has the
-    same mechanism, measured 7.8x on the dev relay)."""
     alpha_bar = jnp.asarray(alphas_cumprod(betas_for_config(diff_cfg)), jnp.float32)
-    n_batches = -(-n_images // batch_size)
     T = diff_cfg.num_steps
     cdt = jnp.bfloat16 if compute_dtype in ("bfloat16", "bf16") else None
-    loss_fn = partial(cond_ddpm_loss, objective=objective, compute_dtype=cdt)
-    grad_fn = jax.value_and_grad(
-        lambda p, *a: loss_fn(p, *a, alpha_bar=alpha_bar)
+
+    def batch_loss(params, model_state, kb, idx, mask, imgs, labels):
+        k_t, k_eps, k_drop = jax.random.split(kb, 3)
+        x0 = jnp.take(imgs, idx, axis=0)
+        lab = jnp.take(labels, idx, axis=0)
+        drop = jax.random.bernoulli(k_drop, drop_prob, (batch_size,))
+        lab = jnp.where(drop, jnp.int32(num_classes), lab)
+        ts = jax.random.randint(k_t, (batch_size,), 1, T + 1)
+        eps = jax.random.normal(k_eps, x0.shape, jnp.float32)
+        loss = cond_ddpm_loss(
+            params, x0, ts, eps, lab, mask, alpha_bar,
+            objective=objective, compute_dtype=cdt,
+        )
+        return loss, model_state
+
+    return build_scanned_epoch(
+        tx, n_images, batch_size, batch_loss,
+        ema_decay=ema_decay, epochs_per_dispatch=epochs_per_dispatch,
+        use_scan=True,
     )
-
-    def one_epoch(state: TrainState, imgs, labels):
-        key = jax.random.fold_in(state.rng, state.step)
-        perm = jax.random.permutation(key, n_images)
-
-        def body(st, b):
-            kb = jax.random.fold_in(key, b + 1)
-            k_t, k_eps, k_drop = jax.random.split(kb, 3)
-            pos = b * batch_size + jnp.arange(batch_size)
-            idx = perm[pos % n_images]
-            mask = (pos < n_images).astype(jnp.float32)
-            x0 = jnp.take(imgs, idx, axis=0)
-            lab = jnp.take(labels, idx, axis=0)
-            drop = jax.random.bernoulli(k_drop, drop_prob, (batch_size,))
-            lab = jnp.where(drop, jnp.int32(num_classes), lab)
-            ts = jax.random.randint(k_t, (batch_size,), 1, T + 1)
-            eps = jax.random.normal(k_eps, x0.shape, jnp.float32)
-            loss, grads = grad_fn(st.params, x0, ts, eps, lab, mask)
-            updates, new_opt = tx.update(grads, st.opt_state, st.params)
-            new_params = optax.apply_updates(st.params, updates)
-            new_ema = st.ema_params
-            if ema_decay > 0:
-                t = st.step.astype(jnp.float32) + 1.0
-                d = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
-                new_ema = jax.tree_util.tree_map(
-                    lambda e, p: d * e + (1.0 - d) * p, st.ema_params, new_params
-                )
-            return (
-                st.replace(
-                    params=new_params, opt_state=new_opt, step=st.step + 1,
-                    ema_params=new_ema,
-                ),
-                loss,
-            )
-
-        state, losses = jax.lax.scan(body, state, jnp.arange(n_batches))
-        return state, jnp.mean(losses)
-
-    if epochs_per_dispatch > 1:
-
-        @partial(jax.jit, donate_argnums=(0,))
-        def multi_epoch_fn(state: TrainState, imgs, labels):
-            def eb(st, _):
-                return one_epoch(st, imgs, labels)
-
-            return jax.lax.scan(eb, state, None, length=epochs_per_dispatch)
-
-        return multi_epoch_fn
-
-    @partial(jax.jit, donate_argnums=(0,))
-    def epoch_fn(state: TrainState, imgs, labels):
-        return one_epoch(state, imgs, labels)
-
-    return epoch_fn
 
 
 def train_conditional_ddpm(
@@ -179,9 +136,9 @@ def train_conditional_ddpm(
         params=params, model_state={}, opt_state=tx.init(params),
         step=jnp.asarray(0, jnp.int32), rng=kr, ema_params=ema,
     )
-    k = max(1, int(train_cfg.epochs_per_dispatch))
-    if jax.default_backend() == "cpu":
-        k = 1
+    from igdm_tpu.training.engine import dispatch_k, run_epoch_loop
+
+    k = dispatch_k(train_cfg)
     kw = dict(
         drop_prob=drop_prob, ema_decay=train_cfg.ema_decay,
         compute_dtype=train_cfg.compute_dtype, objective=train_cfg.objective,
@@ -197,34 +154,10 @@ def train_conditional_ddpm(
     imgs_dev = jnp.asarray(imgs, jnp.float32)
     labels_dev = jnp.asarray(labels, jnp.int32)
 
-    result = TrainResult(state=state)
-    best, no_improve = float("inf"), 0
-    t0 = time.time()
-    epoch = 0
-    while epoch < train_cfg.epochs and not result.stopped_early:
-        if k > 1 and train_cfg.epochs - epoch >= k:
-            state, losses_vec = epoch_fn(state, imgs_dev, labels_dev)
-            block = [float(x) for x in np.asarray(losses_vec)]
-        else:
-            state, loss = epoch_fn_single(state, imgs_dev, labels_dev)
-            block = [float(loss)]
-        result.state = state
-        for loss in block:
-            epoch += 1
-            result.losses.append(loss)
-            result.epochs_run = epoch
-            if log:
-                log(f"Epoch {epoch} | avg loss = {loss:.6f}")
-            if loss < best - train_cfg.min_delta:
-                best, no_improve = loss, 0
-            else:
-                no_improve += 1
-            if no_improve > train_cfg.patience:
-                if log:
-                    log(f"Early stopping: no improvement for {train_cfg.patience + 1} epochs")
-                result.stopped_early = True
-                break
-    result.wall_seconds = time.time() - t0
+    result = run_epoch_loop(
+        state, (imgs_dev, labels_dev), epoch_fn, epoch_fn_single, k, train_cfg,
+        TrainResult(state=state), log=log,
+    )
 
     if save_final:
         path = os.path.join(out_dir, f"{save_final}.npz")

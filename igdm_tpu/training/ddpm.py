@@ -18,10 +18,8 @@ TPU-first redesign of the reference training loop (src/train_brain.jl:246-304):
 from __future__ import annotations
 
 import os
-import time
 from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -145,110 +143,32 @@ def build_epoch_fn(
     epochs_per_dispatch: int = 1,
     objective: str = "eps",
 ) -> Callable:
-    """Compile one full epoch of training.
+    """Compile one full epoch of DDPM training (k epochs with
+    ``epochs_per_dispatch``) — the scanned-epoch engine
+    (:func:`igdm_tpu.training.engine.build_scanned_epoch`) specialized with
+    the q-sample + noise-prediction batch loss."""
+    from igdm_tpu.training.engine import build_scanned_epoch
 
-    On TPU (the design target) the whole epoch is a single jitted program: a
-    ``lax.scan`` over minibatches — one dispatch per epoch, one scalar back.
-    On CPU the same scan executes convolutions without intra-op parallelism
-    (~44x slower per step, measured); there the identical per-step body runs
-    as one jitted step driven by a tiny host loop. Both paths derive RNG the
-    same way (epoch key from state.step at entry; per-batch fold_in(key, b+1))
-    so they compute identical numbers.
-    """
     alpha_bar = jnp.asarray(alphas_cumprod(betas_for_config(diff_cfg)), jnp.float32)
-    n_batches = -(-n_images // batch_size)
     T = diff_cfg.num_steps
     D = diff_cfg.embed_dim
     cdt = jnp.bfloat16 if compute_dtype in ("bfloat16", "bf16") else None
     apply_fn = make_apply_fn(model_kind, D, compute_dtype=cdt)
-    if use_scan is None:
-        use_scan = jax.default_backend() != "cpu"
 
-    grad_fn = jax.value_and_grad(ddpm_loss, has_aux=True)
-
-    def step_body(st: TrainState, imgs, key, perm, b):
-        kb = jax.random.fold_in(key, b + 1)
+    def batch_loss(params, model_state, kb, idx, mask, imgs):
         k_t, k_eps = jax.random.split(kb)
-        pos = b * batch_size + jnp.arange(batch_size)
-        idx = perm[pos % n_images]
-        mask = (pos < n_images).astype(jnp.float32)
         x0 = jnp.take(imgs, idx, axis=0)
         ts = jax.random.randint(k_t, (batch_size,), 1, T + 1)  # 1-based {1..T}
         eps = jax.random.normal(k_eps, x0.shape, jnp.float32)
-        (loss, new_mstate), grads = grad_fn(
-            st.params, st.model_state, x0, ts, eps, mask, alpha_bar, D, apply_fn, objective
-        )
-        updates, new_opt = tx.update(grads, st.opt_state, st.params)
-        new_params = optax.apply_updates(st.params, updates)
-        new_ema = st.ema_params
-        if ema_decay > 0:
-            # ramped decay min(decay, (1+t)/(10+t)): without it a short run's
-            # EMA is still mostly the random init (0.999^680 = 0.51)
-            t = st.step.astype(jnp.float32) + 1.0
-            d = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
-            new_ema = jax.tree_util.tree_map(
-                lambda e, p: d * e + (1.0 - d) * p, st.ema_params, new_params
-            )
-        return (
-            st.replace(
-                params=new_params, model_state=new_mstate, opt_state=new_opt,
-                step=st.step + 1, ema_params=new_ema,
-            ),
-            loss,
+        return ddpm_loss(
+            params, model_state, x0, ts, eps, mask, alpha_bar, D, apply_fn, objective
         )
 
-    if use_scan:
-
-        def one_epoch(state: TrainState, imgs: jax.Array):
-            key = jax.random.fold_in(state.rng, state.step)
-            perm = jax.random.permutation(key, n_images)
-
-            def body(carry, b):
-                return step_body(carry, imgs, key, perm, b)
-
-            state, losses = jax.lax.scan(body, state, jnp.arange(n_batches))
-            return state, jnp.mean(losses)
-
-        if epochs_per_dispatch > 1:
-            # Scan k epochs inside ONE jitted call: per-epoch RNG derives
-            # from state.step (which advances every batch), so the numbers
-            # are bit-identical to k sequential epoch_fn calls — only the
-            # host round-trips (~27 ms each on the dev relay) are saved.
-            # Returns the per-epoch loss vector so the host applies the
-            # same early-stopping bookkeeping.
-            @partial(jax.jit, donate_argnums=(0,))
-            def multi_epoch_fn(state: TrainState, imgs: jax.Array):
-                def eb(st, _):
-                    return one_epoch(st, imgs)
-
-                return jax.lax.scan(eb, state, None, length=epochs_per_dispatch)
-
-            return multi_epoch_fn
-
-        @partial(jax.jit, donate_argnums=(0,))
-        def epoch_fn(state: TrainState, imgs: jax.Array) -> tuple[TrainState, jax.Array]:
-            return one_epoch(state, imgs)
-
-        return epoch_fn
-
-    @partial(jax.jit, donate_argnums=(0,))
-    def step_fn(state, imgs, key, perm, b):
-        return step_body(state, imgs, key, perm, b)
-
-    @jax.jit
-    def epoch_setup(state):
-        key = jax.random.fold_in(state.rng, state.step)
-        return key, jax.random.permutation(key, n_images)
-
-    def epoch_fn(state: TrainState, imgs: jax.Array) -> tuple[TrainState, jax.Array]:
-        key, perm = epoch_setup(state)
-        losses = []
-        for b in range(n_batches):
-            state, loss = step_fn(state, imgs, key, perm, jnp.asarray(b))
-            losses.append(loss)
-        return state, jnp.mean(jnp.stack(losses))
-
-    return epoch_fn
+    return build_scanned_epoch(
+        tx, n_images, batch_size, batch_loss,
+        ema_decay=ema_decay, epochs_per_dispatch=epochs_per_dispatch,
+        use_scan=use_scan,
+    )
 
 
 @dataclass
@@ -259,6 +179,10 @@ class TrainResult:
     stopped_early: bool = False
     wall_seconds: float = 0.0
     checkpoints: list = field(default_factory=list)
+    # final early-stopping counters, recorded so checkpoints can resume the
+    # patience bookkeeping exactly (engine.run_epoch_loop fills them)
+    early_stop_best: float = float("inf")
+    early_stop_no_improve: int = 0
 
 
 def train_ddpm(
@@ -318,14 +242,13 @@ def train_ddpm(
         if log:
             log(f"Resumed from {resume_from} at epoch {start_epoch} (step {int(state.step)})")
 
-    k = max(1, int(train_cfg.epochs_per_dispatch))
-    if k > 1 and jax.default_backend() == "cpu":
-        k = 1  # the CPU path is a host loop already (see build_epoch_fn)
+    from igdm_tpu.training.engine import dispatch_k, run_epoch_loop
+
+    k = dispatch_k(train_cfg)
     kw_build = dict(
         ema_decay=train_cfg.ema_decay, model_kind=model_kind,
-        compute_dtype=train_cfg.compute_dtype,
+        compute_dtype=train_cfg.compute_dtype, objective=train_cfg.objective,
     )
-    kw_build["objective"] = train_cfg.objective
     epoch_fn = build_epoch_fn(
         tx, diff_cfg, train_cfg.batch_size, n, epochs_per_dispatch=k, **kw_build
     )
@@ -347,63 +270,34 @@ def train_ddpm(
 
     result = TrainResult(state=state)
     result.losses = resume_losses
-    result.epochs_run = start_epoch
-    best = resume_best
-    no_improve = resume_no_improve
-    t0 = time.time()
 
-    epoch = start_epoch
-    while epoch < train_cfg.epochs and not result.stopped_early:
-        remaining = train_cfg.epochs - epoch
-        if k > 1 and remaining >= k:
-            state, losses_vec = epoch_fn(state, imgs_dev)
-            block = [float(x) for x in np.asarray(losses_vec)]
-        else:
-            state, loss = epoch_fn_single(state, imgs_dev)
-            block = [float(loss)]
-
-        # per-epoch bookkeeping over the block (same logic as dispatch-per-
-        # epoch; with k > 1 a mid-block stop is detected here but the state
-        # has already advanced to the block end — documented trade)
-        for loss in block:
-            epoch += 1
-            result.losses.append(loss)
-            result.epochs_run = epoch
-            if log:
-                log(f"Epoch {epoch} | avg loss = {loss:.6f}")
-            if loss < best - train_cfg.min_delta:
-                best = loss
-                no_improve = 0
-            else:
-                no_improve += 1
-            if no_improve > train_cfg.patience:
-                if log:
-                    log(f"Early stopping: no improvement for {train_cfg.patience + 1} epochs")
-                result.stopped_early = True
-                break
-
+    def on_block_end(epoch, block_len, st, best, no_improve):
         every = train_cfg.checkpoint_every
-        crossed_checkpoint = every and (
-            epoch // every > (epoch - len(block)) // every
-        )
-        if not result.stopped_early and crossed_checkpoint:
+        if every and (epoch // every > (epoch - block_len) // every):
             path = os.path.join(out_dir, f"{checkpoint_prefix}_{epoch}.npz")
             save_checkpoint(
-                path, state, diff_cfg=diff_cfg, train_cfg=train_cfg, epoch=epoch,
+                path, st, diff_cfg=diff_cfg, train_cfg=train_cfg, epoch=epoch,
                 model=model_kind, data=data_meta,
                 early_stop={"best": best, "no_improve": no_improve},
                 losses=result.losses,
             )
             result.checkpoints.append(path)
-        result.state = state
 
-    result.wall_seconds = time.time() - t0
+    run_epoch_loop(
+        state, (imgs_dev,), epoch_fn, epoch_fn_single, k, train_cfg, result,
+        log=log, start_epoch=start_epoch, best=resume_best,
+        no_improve=resume_no_improve, on_block_end=on_block_end,
+    )
+
     if save_final:
         path = os.path.join(out_dir, f"{save_final}.npz")
         save_checkpoint(
             path, result.state, diff_cfg=diff_cfg, train_cfg=train_cfg,
             epoch=result.epochs_run, model=model_kind, data=data_meta,
-            early_stop={"best": best, "no_improve": no_improve},
+            early_stop={
+                "best": result.early_stop_best,
+                "no_improve": result.early_stop_no_improve,
+            },
             losses=result.losses,
         )
         result.checkpoints.append(path)

@@ -18,8 +18,6 @@ program; the host only sees scalar losses.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -110,31 +108,11 @@ def make_convert_step_fn(
         v_hat, _ = apply_fn(params, mstate, x_t, t, False)
         return jnp.mean(jnp.square(v_hat - v_tgt))
 
-    grad_fn = jax.value_and_grad(loss_fn)
+    from igdm_tpu.training.engine import build_step_runner
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def run(params, opt_state, teacher_params, imgs, key, step0):
-        n_images = imgs.shape[0]
-
-        def body(carry, k):
-            params, opt_state = carry
-            kb = jax.random.fold_in(key, step0 + k)
-            k_i, k_t, k_eps = jax.random.split(kb, 3)
-            idx = jax.random.randint(k_i, (batch_size,), 0, n_images)
-            x0 = jnp.take(imgs, idx, axis=0)
-            t = jax.random.randint(k_t, (batch_size,), 1, T + 1)
-            eps = jax.random.normal(k_eps, x0.shape, jnp.float32)
-            loss, grads = grad_fn(params, teacher_params, x0, t, eps)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
-
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(steps_per_dispatch)
-        )
-        return params, opt_state, losses
-
-    return run
+    return build_step_runner(
+        tx, jax.value_and_grad(loss_fn), batch_size, T, steps_per_dispatch
+    )
 
 
 def make_distill_step_fn(
@@ -197,31 +175,13 @@ def make_distill_step_fn(
         w = jnp.maximum(1.0, (a_t**2) / jnp.maximum(s_t**2, 1e-8))
         return jnp.mean(w * jnp.square(x0_hat - x0_tgt))
 
-    grad_fn = jax.value_and_grad(loss_fn)
+    from igdm_tpu.training.engine import build_step_runner
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def run(params, opt_state, teacher_params, imgs, key, step0):
-        n_images = imgs.shape[0]
-
-        def body(carry, k):
-            params, opt_state = carry
-            kb = jax.random.fold_in(key, step0 + k)
-            k_i, k_t, k_eps = jax.random.split(kb, 3)
-            idx = jax.random.randint(k_i, (batch_size,), 0, n_images)
-            x0 = jnp.take(imgs, idx, axis=0)
-            ts_idx = jax.random.randint(k_t, (batch_size,), 1, N + 1)
-            eps = jax.random.normal(k_eps, x0.shape, jnp.float32)
-            loss, grads = grad_fn(params, teacher_params, x0, ts_idx, eps)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
-
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(steps_per_dispatch)
-        )
-        return params, opt_state, losses
-
-    return run
+    # the drawn "t" is a grid index in {1..N}; same runner as the
+    # conversion pre-phase, different upper bound
+    return build_step_runner(
+        tx, jax.value_and_grad(loss_fn), batch_size, N, steps_per_dispatch
+    )
 
 
 def distill_ddpm(

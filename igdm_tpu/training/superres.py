@@ -14,8 +14,6 @@ TPU shape follows training/ddpm.py: whole epoch in one jitted
 
 from __future__ import annotations
 
-import time
-from functools import partial
 from typing import Callable
 
 import jax
@@ -72,66 +70,30 @@ def build_sr_epoch_fn(
 ) -> Callable:
     """Compile ``epoch_fn(state, imgs_hr, conds) -> (state, loss)`` where
     ``conds`` is the precomputed upsampled-low-res stack aligned with
-    ``imgs_hr``. Multi-epoch dispatch as in training/ddpm.py."""
+    ``imgs_hr`` — the scanned-epoch engine specialized with the SR3
+    concat-conditioned loss (multi-epoch dispatch as in training/ddpm.py)."""
+    from igdm_tpu.training.engine import build_scanned_epoch
+
     alpha_bar = jnp.asarray(alphas_cumprod(betas_for_config(diff_cfg)), jnp.float32)
-    n_batches = -(-n_images // batch_size)
     T = diff_cfg.num_steps
     cdt = jnp.bfloat16 if compute_dtype in ("bfloat16", "bf16") else None
-    grad_fn = jax.value_and_grad(
-        lambda p, *a: sr_loss(p, *a, alpha_bar=alpha_bar, compute_dtype=cdt)
+
+    def batch_loss(params, model_state, kb, idx, mask, imgs, conds):
+        k_t, k_eps = jax.random.split(kb)
+        x0 = jnp.take(imgs, idx, axis=0)
+        cond = jnp.take(conds, idx, axis=0)
+        ts = jax.random.randint(k_t, (batch_size,), 1, T + 1)
+        eps = jax.random.normal(k_eps, x0.shape, jnp.float32)
+        loss = sr_loss(
+            params, x0, cond, ts, eps, mask, alpha_bar, compute_dtype=cdt
+        )
+        return loss, model_state
+
+    return build_scanned_epoch(
+        tx, n_images, batch_size, batch_loss,
+        ema_decay=ema_decay, epochs_per_dispatch=epochs_per_dispatch,
+        use_scan=True,
     )
-
-    def one_epoch(state: TrainState, imgs, conds):
-        key = jax.random.fold_in(state.rng, state.step)
-        perm = jax.random.permutation(key, n_images)
-
-        def body(st, b):
-            kb = jax.random.fold_in(key, b + 1)
-            k_t, k_eps = jax.random.split(kb)
-            pos = b * batch_size + jnp.arange(batch_size)
-            idx = perm[pos % n_images]
-            mask = (pos < n_images).astype(jnp.float32)
-            x0 = jnp.take(imgs, idx, axis=0)
-            cond = jnp.take(conds, idx, axis=0)
-            ts = jax.random.randint(k_t, (batch_size,), 1, T + 1)
-            eps = jax.random.normal(k_eps, x0.shape, jnp.float32)
-            loss, grads = grad_fn(st.params, x0, cond, ts, eps, mask)
-            updates, new_opt = tx.update(grads, st.opt_state, st.params)
-            new_params = optax.apply_updates(st.params, updates)
-            new_ema = st.ema_params
-            if ema_decay > 0:
-                t = st.step.astype(jnp.float32) + 1.0
-                d = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
-                new_ema = jax.tree_util.tree_map(
-                    lambda e, p: d * e + (1.0 - d) * p, st.ema_params, new_params
-                )
-            return (
-                st.replace(
-                    params=new_params, opt_state=new_opt, step=st.step + 1,
-                    ema_params=new_ema,
-                ),
-                loss,
-            )
-
-        state, losses = jax.lax.scan(body, state, jnp.arange(n_batches))
-        return state, jnp.mean(losses)
-
-    if epochs_per_dispatch > 1:
-
-        @partial(jax.jit, donate_argnums=(0,))
-        def multi_epoch_fn(state, imgs, conds):
-            def eb(st, _):
-                return one_epoch(st, imgs, conds)
-
-            return jax.lax.scan(eb, state, None, length=epochs_per_dispatch)
-
-        return multi_epoch_fn
-
-    @partial(jax.jit, donate_argnums=(0,))
-    def epoch_fn(state, imgs, conds):
-        return one_epoch(state, imgs, conds)
-
-    return epoch_fn
 
 
 def train_superres(
@@ -162,7 +124,7 @@ def train_superres(
 
     key = jax.random.PRNGKey(train_cfg.seed)
     kp, kr = jax.random.split(key)
-    params = unet4.init(kp, in_channels=2 * c, base_ch=base_ch)
+    params = unet4.init(kp, in_channels=2 * c, base_ch=base_ch, out_channels=c)
     tx = make_optimizer(train_cfg)
     ema = jax.tree_util.tree_map(jnp.array, params) if train_cfg.ema_decay > 0 else None
     state = TrainState(
@@ -170,9 +132,9 @@ def train_superres(
         step=jnp.asarray(0, jnp.int32), rng=kr, ema_params=ema,
     )
 
-    k = max(1, int(train_cfg.epochs_per_dispatch))
-    if jax.default_backend() == "cpu":
-        k = 1
+    from igdm_tpu.training.engine import dispatch_k, run_epoch_loop
+
+    k = dispatch_k(train_cfg)
     kw = dict(ema_decay=train_cfg.ema_decay, compute_dtype=train_cfg.compute_dtype)
     epoch_fn = build_sr_epoch_fn(
         tx, diff_cfg, train_cfg.batch_size, n, epochs_per_dispatch=k, **kw
@@ -185,34 +147,10 @@ def train_superres(
     imgs_dev = jnp.asarray(imgs_hr, jnp.float32)
     conds = upsample_to(make_lowres(imgs_dev, factor), (h, w))
 
-    result = TrainResult(state=state)
-    best, no_improve = float("inf"), 0
-    t0 = time.time()
-    epoch = 0
-    while epoch < train_cfg.epochs and not result.stopped_early:
-        if k > 1 and train_cfg.epochs - epoch >= k:
-            state, losses_vec = epoch_fn(state, imgs_dev, conds)
-            block = [float(x) for x in np.asarray(losses_vec)]
-        else:
-            state, loss = epoch_fn_single(state, imgs_dev, conds)
-            block = [float(loss)]
-        result.state = state
-        for loss in block:
-            epoch += 1
-            result.losses.append(loss)
-            result.epochs_run = epoch
-            if log:
-                log(f"Epoch {epoch} | avg loss = {loss:.6f}")
-            if loss < best - train_cfg.min_delta:
-                best, no_improve = loss, 0
-            else:
-                no_improve += 1
-            if no_improve > train_cfg.patience:
-                if log:
-                    log(f"Early stopping: no improvement for {train_cfg.patience + 1} epochs")
-                result.stopped_early = True
-                break
-    result.wall_seconds = time.time() - t0
+    result = run_epoch_loop(
+        state, (imgs_dev, conds), epoch_fn, epoch_fn_single, k, train_cfg,
+        TrainResult(state=state), log=log,
+    )
 
     if save_final:
         path = os.path.join(out_dir, f"{save_final}.npz")
