@@ -281,3 +281,102 @@ def test_data_parallel_distill_step_matches_single_device():
     b = run(make_mesh(8))
     assert np.isfinite(a).all() and np.isfinite(b).all()
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# Compiled communication structure (VERDICT r2 task 4): output-equality tests
+# above would also pass if XLA silently gathered everything onto one device.
+# These assert the collectives the compiled HLO actually contains.
+# ---------------------------------------------------------------------------
+
+_COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter", "collective-permute", "all-to-all")
+
+
+def _collective_counts(hlo_text: str) -> dict:
+    import re
+
+    return {
+        n: len(re.findall(rf"{n}(?:-start)?\(", hlo_text)) for n in _COLLECTIVES
+    }
+
+
+@pytest.mark.parametrize("model_kind", ["unet4", "unet_small"])
+def test_dp_train_epoch_compiles_to_exactly_one_all_reduce(model_kind):
+    """One fused gradient all-reduce per DP step — and nothing else. XLA
+    merges the loss mean, every parameter gradient, and (for unet_small)
+    the BatchNorm batch statistics into a single fused all-reduce inside
+    the scan body; any all-gather would mean the partitioner fell back to
+    collecting the batch onto every device."""
+    from igdm_tpu.config import DiffusionConfig, TrainConfig
+    from igdm_tpu.training.ddpm import build_epoch_fn, init_train_state
+
+    mesh = make_mesh(8)
+    diff = DiffusionConfig(num_steps=8)
+    tr = TrainConfig(batch_size=16)
+    kw = {"base_ch": 8} if model_kind == "unet4" else {}
+    state, tx = init_train_state(
+        jax.random.PRNGKey(0), diff, tr, model_kind=model_kind, **kw
+    )
+    epoch_fn = build_epoch_fn(tx, diff, tr.batch_size, 32, model_kind=model_kind, use_scan=True)
+    imgs = shard_batch(mesh, jnp.zeros((32, 32, 32, 1), jnp.float32))
+    state = state.replace(
+        params=replicate_tree(mesh, state.params),
+        model_state=replicate_tree(mesh, state.model_state),
+        opt_state=replicate_tree(mesh, state.opt_state),
+    )
+    counts = _collective_counts(epoch_fn.lower(state, imgs).compile().as_text())
+    assert counts["all-reduce"] == 1, counts
+    for other in _COLLECTIVES[1:]:
+        assert counts[other] == 0, counts
+
+
+def test_sharded_sampling_compiles_to_zero_collectives():
+    """The claim at sampling/ancestral.py sample_ddpm_sharded: every chip
+    runs its shard of the trajectory scan independently — the compiled
+    program must contain NO collectives at all (linear scaling by
+    construction, not by measurement)."""
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from igdm_tpu.config import DiffusionConfig
+    from igdm_tpu.models import unet_small
+    from igdm_tpu.sampling.ancestral import _alpha_bar, _sample_ddpm_impl
+
+    mesh = make_mesh(8)
+    cfg = DiffusionConfig(num_steps=8)
+    params, state = unet_small.init(jax.random.PRNGKey(0))
+    repl = NamedSharding(mesh, P())
+    params = jax.device_put(params, repl)
+    state = jax.device_put(state, repl)
+    key = jax.device_put(jax.random.PRNGKey(0), repl)
+    ab = jax.device_put(_alpha_bar(cfg), repl)
+    fn = jax.jit(
+        partial(
+            _sample_ddpm_impl.__wrapped__, num_images=16, image_size=(32, 32),
+            num_steps=cfg.num_steps, embed_dim=cfg.embed_dim, channels=1,
+        ),
+        out_shardings=NamedSharding(mesh, P("data")),
+    )
+    counts = _collective_counts(fn.lower(params, state, key, ab, None).compile().as_text())
+    assert counts == {n: 0 for n in _COLLECTIVES}, counts
+
+
+def test_tp_forward_compiles_with_channel_collectives():
+    """Tensor-parallel forward on a 2-D (data x model) mesh: channel
+    contractions must produce real cross-device communication (all-gather /
+    all-to-all / all-reduce of partial sums) — exact counts are a compiler
+    choice, but zero would mean the 'model' axis sharding was silently
+    dropped."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from igdm_tpu.models import unet4
+    from igdm_tpu.parallel.tp import shard_params_tp
+
+    mesh = make_mesh(8, model_parallel=4)
+    params = shard_params_tp(mesh, unet4.init(jax.random.PRNGKey(0), in_channels=1, base_ch=8))
+    x = jax.device_put(jnp.zeros((4, 32, 32, 1)), NamedSharding(mesh, P("data")))
+    ts = jax.device_put(jnp.ones((4,), jnp.int32), NamedSharding(mesh, P("data")))
+    fwd = jax.jit(lambda p, a, t: unet4.apply(p, a, t, final_sigmoid=False))
+    counts = _collective_counts(fwd.lower(params, x, ts).compile().as_text())
+    assert sum(counts.values()) >= 1, counts
