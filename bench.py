@@ -30,7 +30,37 @@ def _sync(x):
     return np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0]
 
 
-def bench_sampling(batch: int = 64, T: int = 500, iters: int = 5):
+def _median(xs):
+    s = sorted(xs)
+    return s[len(s) // 2]
+
+
+def _device_ms_from_trace(logdir: str) -> float:
+    """Total on-device time (ms) — XLA module spans on the device lanes
+    (BASELINE.md round-2 methodology; wall minus this is dispatch/fetch
+    overhead)."""
+    from igdm_tpu.utils.prof import device_module_ms
+
+    return device_module_ms(logdir)
+
+
+def bench_null_call(iters: int = 15) -> float:
+    """Median round-trip of an empty jitted call (ms): the dev relay's
+    dispatch constant (~27 ms here, ~0 on co-located TPU). Carried in the
+    bench JSON so cross-round wall-time deltas can be split into
+    environment noise vs real change (VERDICT r2 task 3)."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.float32(0.0)
+    _sync(f(x))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _sync(f(x))
+        times.append(time.perf_counter() - t0)
+    return _median(times) * 1e3
+
+
+def bench_sampling(batch: int = 64, T: int = 500, iters: int = 5, profile_dir=None):
     from igdm_tpu.config import DiffusionConfig
     from igdm_tpu.models import unet_small
     from igdm_tpu.sampling.ancestral import make_sampler
@@ -51,11 +81,20 @@ def bench_sampling(batch: int = 64, T: int = 500, iters: int = 5):
         t0 = time.perf_counter()
         _sync(fn(jax.random.fold_in(key, i)))
         times.append(time.perf_counter() - t0)
-    best = min(times)
-    return batch / best, best
+    device_step_ms = None
+    if profile_dir:
+        from igdm_tpu.utils.prof import profile_trace
+
+        with profile_trace(profile_dir):
+            _sync(fn(jax.random.fold_in(key, 999)))
+        device_step_ms = _device_ms_from_trace(profile_dir) / (T - 1)
+    return batch / min(times), min(times), _median(times), device_step_ms
 
 
-def bench_train_step(batch: int = 64, T: int = 500, iters: int = 5, n_images: int = 8192):
+def bench_train_step(
+    batch: int = 64, T: int = 500, iters: int = 5, n_images: int = 8192,
+    profile_dir=None,
+):
     """Steady-state train-step throughput.
 
     n_images=8192 (64-128 steps per jitted epoch) amortizes this dev
@@ -65,7 +104,6 @@ def bench_train_step(batch: int = 64, T: int = 500, iters: int = 5, n_images: in
     f32 master params/BN stats) is the production training config.
     """
     from igdm_tpu.config import DiffusionConfig, TrainConfig
-    from igdm_tpu.diffusion.schedules import alphas_cumprod, linear_beta_schedule
     from igdm_tpu.training.ddpm import build_epoch_fn, init_train_state
 
     diff_cfg = DiffusionConfig(num_steps=T)
@@ -83,8 +121,15 @@ def bench_train_step(batch: int = 64, T: int = 500, iters: int = 5, n_images: in
         state, loss = epoch_fn(state, imgs)
         _sync(loss)
         times.append(time.perf_counter() - t0)
-    best = min(times)
-    return steps_per_epoch / best
+    device_step_ms = None
+    if profile_dir:
+        from igdm_tpu.utils.prof import profile_trace
+
+        with profile_trace(profile_dir):
+            state, loss = epoch_fn(state, imgs)
+            _sync(loss)
+        device_step_ms = _device_ms_from_trace(profile_dir) / steps_per_epoch
+    return steps_per_epoch / min(times), steps_per_epoch / _median(times), device_step_ms
 
 
 def bench_distilled(path: str, batch: int = 256, R: int = 20):
@@ -127,25 +172,33 @@ def bench_distilled(path: str, batch: int = 256, R: int = 20):
 
 
 def main():
-    profile_dir = os.environ.get("IGDM_PROFILE")
-    if profile_dir:
-        from igdm_tpu.utils.prof import profile_trace
+    import tempfile
 
-        with profile_trace(profile_dir):
-            bench_sampling(batch=256, iters=1)
-        print(f"[bench] profiler trace written to {profile_dir}", file=sys.stderr)
+    explicit_profile = os.environ.get("IGDM_PROFILE")
+    tmp_root = tempfile.mkdtemp(prefix="igdm_bench_prof_")
+    samp_prof = explicit_profile or os.path.join(tmp_root, "sampling")
+    train_prof = os.path.join(tmp_root, "train128")
+
+    null_ms = bench_null_call()
 
     # batch 256 ~1.8x batch-64 throughput (measured 2026-08-16); samples/s/chip
     # is the metric, batch is free to choose
-    samples_per_sec, wall = bench_sampling(batch=256)
-    train_steps_64 = bench_train_step(batch=64)
-    train_steps_128 = bench_train_step(batch=128)
+    samples_per_sec, wall, wall_median, samp_device_ms = bench_sampling(
+        batch=256, profile_dir=samp_prof
+    )
+    train_steps_64, _, _ = bench_train_step(batch=64)
+    train_steps_128, train_steps_128_median, train_device_ms = bench_train_step(
+        batch=128, profile_dir=train_prof
+    )
     per_step_ms = wall / 499 * 1e3  # T-1 denoise steps per trajectory
+    if explicit_profile:
+        print(f"[bench] profiler trace written to {explicit_profile}", file=sys.stderr)
 
     print(
         f"[bench] sampling: {samples_per_sec:.2f} samples/s (batch 256, T=500, {wall:.3f}s/traj), "
-        f"per-denoise-step {per_step_ms:.3f} ms, "
-        f"train {train_steps_64:.2f} steps/s (batch 64) / {train_steps_128:.2f} steps/s (batch 128)",
+        f"per-denoise-step {per_step_ms:.3f} ms wall / {samp_device_ms:.3f} ms device, "
+        f"train {train_steps_64:.2f} steps/s (batch 64) / {train_steps_128:.2f} steps/s (batch 128, "
+        f"{train_device_ms:.3f} ms/step device), null call {null_ms:.1f} ms",
         file=sys.stderr,
     )
 
@@ -155,16 +208,24 @@ def main():
     # backend — generous vs the reference's single-threaded Julia loop):
     # 0.22 samples/s measured 2026-08-16 (see BASELINE.md).
     baseline_samples_per_sec = 0.22
-    # All three BASELINE.json metrics ride the single parsed JSON line
-    # (VERDICT.md round-1 task 7): headline + secondary fields.
+    # All BASELINE.json metrics ride the single parsed JSON line (VERDICT r1
+    # task 7). Device-time fields + null-call latency + medians make
+    # cross-round deltas falsifiable: wall spread at identical binaries was
+    # 362.8 -> 288 samples/s across a day (relay/tenancy, BASELINE.md);
+    # device_step_ms is the chip-state-independent number (VERDICT r2 task 3).
     record = {
         "metric": "ddpm_32x32_samples_per_sec_per_chip_T500",
         "value": round(samples_per_sec, 3),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / baseline_samples_per_sec, 2),
         "per_denoise_step_ms": round(per_step_ms, 4),
+        "sampling_device_step_ms": round(samp_device_ms, 4) if samp_device_ms else None,
+        "sampling_samples_per_sec_median": round(256.0 / wall_median, 3),
+        "null_call_ms": round(null_ms, 2),
         "train_steps_per_sec_batch64": round(train_steps_64, 2),
         "train_steps_per_sec_batch128": round(train_steps_128, 2),
+        "train_steps_per_sec_batch128_median": round(train_steps_128_median, 2),
+        "train_device_step_ms_batch128": round(train_device_ms, 4) if train_device_ms else None,
         "train_imgs_per_sec_batch128": round(train_steps_128 * 128, 1),
     }
     distilled_ckpt = os.path.join(

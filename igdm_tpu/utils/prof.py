@@ -87,6 +87,45 @@ def summarize_trace(logdir: str, top: int = 25) -> list[tuple[str, float]]:
     return [(name, dur / 1e3) for name, dur in ev.most_common(top)]
 
 
+def device_module_ms(logdir: str) -> float:
+    """Total on-device execution time (ms) in a jax.profiler trace: the sum
+    of XLA-module spans on the device lanes ("XLA Modules" threads of
+    ``/device:*`` processes). This is the chip-state-independent number the
+    bench JSON carries as ``*_device_step_ms`` — wall minus this is
+    dispatch/fetch overhead (the dev relay's ~27 ms null call). Summing
+    per-op events instead would double-count: the op lane nests fusions
+    inside their ``while``/module container spans (measured 3x the module
+    span on the sampling trace).
+    """
+    import glob
+    import gzip
+    import json
+
+    total = 0.0
+    for f in glob.glob(logdir + "/**/*.trace.json.gz", recursive=True):
+        with gzip.open(f, "rt") as fh:
+            ev = json.load(fh).get("traceEvents", [])
+        dev_pids = {
+            e["pid"]
+            for e in ev
+            if e.get("ph") == "M"
+            and e.get("name") == "process_name"
+            and "device" in (e.get("args", {}).get("name") or "").lower()
+        }
+        mod_lanes = {
+            (e["pid"], e["tid"])
+            for e in ev
+            if e.get("ph") == "M"
+            and e.get("name") == "thread_name"
+            and e.get("pid") in dev_pids
+            and "module" in (e.get("args", {}).get("name") or "").lower()
+        }
+        for e in ev:
+            if e.get("ph") == "X" and "dur" in e and (e.get("pid"), e.get("tid")) in mod_lanes:
+                total += e["dur"]
+    return total / 1e3
+
+
 def classify_trace(
     logdir: str, compiled_text: str, *, top: int = 400
 ) -> dict[str, tuple[float, int]]:

@@ -95,3 +95,35 @@ def test_classify_trace(tmp_path):
     assert isinstance(buckets, dict)
     for name, (ms, cnt) in buckets.items():
         assert ms >= 0 and cnt >= 1, name
+
+
+def test_device_module_ms_synthetic_trace(tmp_path):
+    """device_module_ms must sum ONLY the XLA-module spans of device lanes —
+    not host events and not the nested per-op lane (which double-counts
+    fusions inside their while/module containers)."""
+    import gzip
+    import json
+    import os
+
+    from igdm_tpu.utils.prof import device_module_ms
+
+    events = [
+        {"ph": "M", "pid": 3, "name": "process_name", "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 7, "name": "process_name", "args": {"name": "/host:CPU"}},
+        {"ph": "M", "pid": 3, "tid": 2, "name": "thread_name", "args": {"name": "XLA Modules"}},
+        {"ph": "M", "pid": 3, "tid": 4, "name": "thread_name", "args": {"name": "XLA Ops"}},
+        {"ph": "M", "pid": 7, "tid": 1, "name": "thread_name", "args": {"name": "python"}},
+        # counted: two module executions on the device
+        {"ph": "X", "pid": 3, "tid": 2, "name": "jit_f(123)", "dur": 1500, "ts": 0},
+        {"ph": "X", "pid": 3, "tid": 2, "name": "jit_g(456)", "dur": 500, "ts": 2000},
+        # NOT counted: nested op lane (sums to more than the module span)
+        {"ph": "X", "pid": 3, "tid": 4, "name": "while.6", "dur": 1400, "ts": 0},
+        {"ph": "X", "pid": 3, "tid": 4, "name": "fusion.1", "dur": 1300, "ts": 50},
+        # NOT counted: host work
+        {"ph": "X", "pid": 7, "tid": 1, "name": "dispatch", "dur": 9999, "ts": 0},
+    ]
+    d = tmp_path / "plugins" / "profile" / "run"
+    os.makedirs(d)
+    with gzip.open(d / "vm.trace.json.gz", "wt") as fh:
+        json.dump({"traceEvents": events}, fh)
+    assert device_module_ms(str(tmp_path)) == (1500 + 500) / 1e3
