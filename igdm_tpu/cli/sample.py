@@ -41,7 +41,34 @@ def build_parser() -> argparse.ArgumentParser:
         "--guidance", type=float, default=2.0,
         help="classifier-free guidance scale for conditional checkpoints",
     )
+    p.add_argument(
+        "--inpaint", default=None, metavar="MASK",
+        help="inpaint mode: PNG mask (white = keep, black = regenerate); "
+        "requires --image; draws n independent completions",
+    )
+    p.add_argument(
+        "--image", default=None,
+        help="input PNG in [0,1] whose masked-out region is synthesized (with --inpaint)",
+    )
+    p.add_argument(
+        "--resample", type=int, default=1,
+        help="RePaint time-travel count for --inpaint (r>1 harmonizes boundaries)",
+    )
     return p
+
+
+def _read_gray01(path: str):
+    """Read a PNG as (H, W) float32 in [0, 1] (dtype-aware, like igdm-upscale)."""
+    import matplotlib.image as mpimg
+    import numpy as np
+
+    img = np.asarray(mpimg.imread(path))
+    if img.dtype.kind in "ui":
+        img = img.astype(np.float32) / np.iinfo(img.dtype).max
+    img = img.astype(np.float32)
+    if img.ndim == 3:
+        img = img[..., :3].mean(axis=-1)
+    return np.clip(img, 0.0, 1.0)
 
 
 def main(argv=None) -> int:
@@ -55,6 +82,29 @@ def main(argv=None) -> int:
         enable_nan_debugging()
 
     from igdm_tpu.data.images import save_image_heatmap, save_sample_grid
+
+    if args.inpaint:
+        if not args.image:
+            raise SystemExit("--inpaint requires --image (the picture to complete)")
+        from igdm_tpu.sampling.auto import inpaint_from_checkpoint
+
+        known01 = _read_gray01(args.image)
+        mask = _read_gray01(args.inpaint)
+        if mask.shape != known01.shape:
+            raise SystemExit(
+                f"mask {mask.shape} and image {known01.shape} sizes differ"
+            )
+        imgs01, info = inpaint_from_checkpoint(
+            args.model, jax.random.PRNGKey(args.seed), known01, mask,
+            num_images=args.n, resample=args.resample, prefer_ema=args.ema,
+        )
+        save_sample_grid(imgs01, args.out, title="Inpainted")
+        print(
+            f"saved {args.n} inpainted completion(s) ({info['model']}, T={info['T']}, "
+            f"resample={info['resample']}) to {args.out}"
+        )
+        return 0
+
     from igdm_tpu.sampling.auto import sample_from_checkpoint
 
     imgs01, info = sample_from_checkpoint(

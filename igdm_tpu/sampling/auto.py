@@ -196,3 +196,82 @@ def sample_from_checkpoint(
     arr = np.asarray(out)
     imgs01 = (arr[..., 0] + 1.0) / 2.0 if channels == 1 else (arr + 1.0) / 2.0
     return imgs01, {"model": model_kind, "T": cfg.num_steps, "sampler": sampler}
+
+
+def inpaint_from_checkpoint(
+    path: str,
+    key,
+    known01,
+    mask,
+    *,
+    num_images: int = 1,
+    resample: int = 1,
+    prefer_ema: bool = False,
+):
+    """Inpaint the masked-out region of ``known01`` with any plain DDPM
+    checkpoint (RePaint sampling, :func:`igdm_tpu.sampling.edit.sample_inpaint`).
+
+    Args:
+      known01: (H, W) or (H, W, C) image in [0, 1]; mask==1 pixels are kept.
+      mask: same spatial shape, 1.0 = keep, 0.0 = regenerate.
+      num_images: number of independent completions to draw.
+      resample: RePaint time-travel count r (r=1 is a single pass).
+
+    Returns (images01 (N,H,W[,C]) in [0,1], info dict). Distilled /
+    conditional / modern checkpoints are rejected — inpainting projects
+    through the training schedule's forward marginals, which only the plain
+    DDPM checkpoints expose.
+    """
+    import jax as _jax
+
+    from igdm_tpu.checkpoint.pytree_io import load_for_sampling
+    from igdm_tpu.sampling.edit import sample_inpaint
+
+    params, state, meta = load_for_sampling(str(path), prefer_ema=prefer_ema)
+    for kind in ("distill", "conditional", "modern_cfg", "superres"):
+        if kind in meta:
+            raise ValueError(
+                f"--inpaint needs a plain DDPM checkpoint; {path} is a "
+                f"'{kind}' checkpoint"
+            )
+    params = _jax.tree_util.tree_map(jnp.asarray, params)
+    state = _jax.tree_util.tree_map(jnp.asarray, state)
+    model_kind = meta.get("model", "unet_small")
+    cfg = config_from_dict(DiffusionConfig, meta.get("diff_cfg", {}))
+    channels = int(meta.get("data", {}).get("channels", 1))
+
+    known01 = np.asarray(known01, np.float32)
+    squeeze = known01.ndim == 2
+    if squeeze:
+        known01 = known01[..., None]
+    if known01.shape[-1] != channels:
+        raise ValueError(
+            f"input has {known01.shape[-1]} channel(s); checkpoint expects {channels}"
+        )
+    known = jnp.asarray(known01 * 2.0 - 1.0)[None].repeat(num_images, axis=0)
+    mask = jnp.broadcast_to(
+        jnp.asarray(mask, jnp.float32).reshape(known01.shape[0], known01.shape[1], -1),
+        known.shape[1:],
+    )[None].repeat(num_images, axis=0)
+
+    apply_fn = None
+    if (meta.get("train_cfg") or {}).get("objective") == "v":
+        from igdm_tpu.diffusion.schedules import alphas_cumprod, betas_for_config
+        from igdm_tpu.sampling.ancestral import v_to_eps_apply_fn
+        from igdm_tpu.training.ddpm import make_apply_fn
+
+        apply_fn = v_to_eps_apply_fn(
+            make_apply_fn(model_kind, cfg.embed_dim),
+            alphas_cumprod(betas_for_config(cfg)),
+        )
+    out = sample_inpaint(
+        params, state, key, known, mask, cfg=cfg, resample=resample,
+        model_kind=model_kind, apply_fn=apply_fn,
+    )
+    arr = (np.asarray(out) + 1.0) / 2.0
+    if squeeze:
+        arr = arr[..., 0]
+    return arr, {
+        "model": model_kind, "T": cfg.num_steps, "sampler": "inpaint",
+        "resample": resample,
+    }

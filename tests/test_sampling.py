@@ -311,3 +311,64 @@ def test_inpaint_resample_runs(net):
     assert out.shape == (1, 32, 32, 1)
     assert np.isfinite(out).all()
     np.testing.assert_allclose(out[0, 0, 0, 0], 0.0, atol=1e-5)  # known corner
+
+
+def test_inpaint_cli_end_to_end(tmp_path, monkeypatch):
+    """igdm-sample --inpaint mask.png --image input.png: train a tiny DDPM,
+    complete a masked image through the CLI, check the artifact (VERDICT r2
+    task 8 — every sampler family is CLI-reachable)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.image as mpimg
+
+    from igdm_tpu.cli.sample import main as sample_main
+    from igdm_tpu.config import TrainConfig
+    from igdm_tpu.training.ddpm import train_ddpm
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(-1, 1, (16, 32, 32, 1)).astype(np.float32)
+    monkeypatch.chdir(tmp_path)
+    train_ddpm(
+        imgs, DiffusionConfig(num_steps=5),
+        TrainConfig(epochs=1, batch_size=8, patience=100),
+        out_dir=str(tmp_path), log=None,
+    )
+    img_png = str(tmp_path / "input.png")
+    mask_png = str(tmp_path / "mask.png")
+    mpimg.imsave(img_png, rng.uniform(0, 1, (32, 32)), cmap="gray", vmin=0, vmax=1)
+    mask = np.ones((32, 32), np.float32)
+    mask[8:24, 8:24] = 0.0
+    mpimg.imsave(mask_png, mask, cmap="gray", vmin=0, vmax=1)
+    rc = sample_main([
+        str(tmp_path / "trained_model.npz"), "2",
+        "--inpaint", mask_png, "--image", img_png,
+        "--resample", "2", "--out", str(tmp_path / "inpainted.png"),
+    ])
+    assert rc == 0 and (tmp_path / "inpainted.png").exists()
+
+
+def test_inpaint_from_checkpoint_rejects_special_checkpoints(tmp_path):
+    import json
+
+    import pytest
+
+    from igdm_tpu.checkpoint.pytree_io import _flatten_with_paths
+    from igdm_tpu.models import unet4
+    from igdm_tpu.sampling.auto import inpaint_from_checkpoint
+
+    params = unet4.init(jax.random.PRNGKey(0), base_ch=8)
+    payload = {
+        f"params/{k}": np.asarray(v) for k, v in _flatten_with_paths(params).items()
+    }
+    meta = {
+        "model": "unet4", "diff_cfg": {"num_steps": 8},
+        "distill": {"grid": [0, 2, 4, 6, 8], "objective": "v"},
+    }
+    payload["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    path = str(tmp_path / "student.npz")
+    np.savez(path, **payload)
+    with pytest.raises(ValueError, match="plain DDPM"):
+        inpaint_from_checkpoint(
+            path, jax.random.PRNGKey(0), np.zeros((32, 32)), np.ones((32, 32))
+        )
