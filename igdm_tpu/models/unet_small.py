@@ -365,10 +365,15 @@ def apply_folded(folded, x, t_emb, *, compute_dtype=None, decompose_time_conv=Fa
     h = conv_relu(folded["down2"]["conv2"], conv_relu(folded["down2"]["conv1"], h))
     h = conv_relu(folded["mid"]["conv2"], conv_relu(folded["mid"]["conv1"], h))
     wt, bt = cc(folded["up2"]["convt"])
-    h = conv_transpose2d(h, wt, bt, stride=2).astype(dt)
+    # bf16 end to end: the f32 default cost ~180 us/step in a 67 MB f32
+    # pixel-shuffle intermediate + layout transpose (BASELINE.md round-3)
+    h = conv_transpose2d(h, wt, bt.astype(dt), stride=2, preferred_dtype=dt).astype(dt)
     h = conv_relu(folded["up2"]["conv2"], conv_relu(folded["up2"]["conv1"], h))
     hh, ww = h.shape[1], h.shape[2]
     h = jnp.concatenate([h, h1[:, :hh, :ww, :]], axis=-1)
     h = conv_relu(folded["up1"]["conv2"], conv_relu(folded["up1"]["conv1"], h))
     wf, bf = cc(folded["final"])
+    # the 1x1 head stays in conv form: the per-pixel-matmul einsum
+    # formulation measured 2x SLOWER end-to-end (2435 vs 1224 us/step,
+    # BASELINE.md round-3) — XLA's conv path tiles this reduction better
     return conv2d(h, wf, bf).astype(jnp.float32)

@@ -34,7 +34,7 @@ def conv2d(x, w, b=None, *, stride: int = 1, padding="SAME"):
     return out
 
 
-def conv_transpose2d(x, w, b=None, *, stride: int = 2, padding="VALID"):
+def conv_transpose2d(x, w, b=None, *, stride: int = 2, padding="VALID", preferred_dtype=None):
     """2-D transposed convolution (kernel HWIO, I=input channels of x).
 
     Semantics identical to ``lax.conv_transpose(transpose_kernel=False)``.
@@ -43,6 +43,11 @@ def conv_transpose2d(x, w, b=None, *, stride: int = 2, padding="VALID"):
     einsum + pixel-shuffle reshape — one MXU matmul instead of an
     input-dilated conv (which XLA:CPU executes pathologically slowly, and
     which the TPU compiler also tiles worse).
+
+    preferred_dtype: einsum output dtype (default f32). The bf16 serving
+    path passes bf16 — the f32 default materialized a 67 MB f32
+    pixel-shuffle intermediate + layout transpose, measured ~180 us/step of
+    the sampler's 1,255 (BASELINE.md round-3 roofline).
     """
     kh, kw, cin, cout = w.shape
     if (kh, kw) == (stride, stride) and padding == "VALID":
@@ -50,7 +55,10 @@ def conv_transpose2d(x, w, b=None, *, stride: int = 2, padding="VALID"):
         # lax.conv_transpose correlates the dilated input with w, which lands
         # kernel tap (kh-1-a, kw-1-b) on output offset (a, b): use w reversed.
         wr = w[::-1, ::-1, :, :]
-        out = jnp.einsum("nhwc,abco->nhawbo", x, wr, preferred_element_type=jnp.float32)
+        out = jnp.einsum(
+            "nhwc,abco->nhawbo", x, wr,
+            preferred_element_type=preferred_dtype or jnp.float32,
+        )
         out = out.reshape(n, h * stride, wd * stride, cout)
     else:
         out = lax.conv_transpose(

@@ -221,7 +221,12 @@ def make_sampler(
 
         def body(x, inputs):
             t, i = inputs
-            t_emb = timestep_embedding(jnp.full((B,), t, jnp.float32), D)
+            # t is one scalar for the whole batch: a (1, D) embedding
+            # broadcasts through the decomposed time map, so the per-step
+            # (B,H,W,64) f32 contribution (a ~54 us/step materialized
+            # transpose, BASELINE.md round-3) collapses to (1,H,W,64) —
+            # numerically identical rows either way.
+            t_emb = timestep_embedding(jnp.full((1,), t, jnp.float32), D)
             if compute_dtype is not None:
                 eps_pred = unet_small.apply_folded(
                     folded, x, t_emb, compute_dtype=compute_dtype, decompose_time_conv=True
