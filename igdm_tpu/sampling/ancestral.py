@@ -278,12 +278,17 @@ def make_textbook_sampler(
     channels: int = 1,
     model_kind: str = "unet_small",
     apply_fn=None,
+    compute_dtype=None,
 ):
     """Textbook DDPM ancestral sampler (Ho et al. posterior — see
     diffusion.processes.ddpm_posterior_step), baked weights, full T..1 loop
     with no noise at the final step. The correctness upgrade over the
     reference's simplified sampler; works with either noise-predictor family
-    and either beta schedule (DiffusionConfig.schedule)."""
+    and either beta schedule (DiffusionConfig.schedule).
+
+    compute_dtype: jnp.bfloat16 runs the model's convs at the MXU bf16 rate
+    (norm statistics stay f32; the posterior update stays f32) — the
+    serving configuration for the unet4 quality flagship."""
     from igdm_tpu.diffusion.processes import ddpm_posterior_step
     from igdm_tpu.diffusion.schedules import betas_for_config
     from igdm_tpu.training.ddpm import make_apply_fn
@@ -293,7 +298,7 @@ def make_textbook_sampler(
     alpha_bar = jnp.asarray(alphas_cumprod(betas_for_config(cfg)), jnp.float32)
     ab_ext = jnp.concatenate([jnp.ones((1,), jnp.float32), alpha_bar])  # ab_ext[t], t in 0..T
     if apply_fn is None:
-        apply_fn = make_apply_fn(model_kind, cfg.embed_dim)
+        apply_fn = make_apply_fn(model_kind, cfg.embed_dim, compute_dtype=compute_dtype)
     h, w = image_size
     T, B = cfg.num_steps, num_images
 

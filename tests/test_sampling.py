@@ -372,3 +372,20 @@ def test_inpaint_from_checkpoint_rejects_special_checkpoints(tmp_path):
         inpaint_from_checkpoint(
             path, jax.random.PRNGKey(0), np.zeros((32, 32)), np.ones((32, 32))
         )
+
+
+def test_textbook_sampler_bf16_matches_f32():
+    """make_textbook_sampler(compute_dtype=bf16) — the unet4 flagship's
+    serving config — agrees with the f32 path within bf16 rounding."""
+    from igdm_tpu.models import unet4
+    from igdm_tpu.sampling.ancestral import make_textbook_sampler
+
+    cfg = DiffusionConfig(num_steps=8)
+    params = unet4.init(jax.random.PRNGKey(0), base_ch=8)
+    kw = dict(cfg=cfg, num_images=2, image_size=(32, 32), model_kind="unet4")
+    f32 = make_textbook_sampler(params, {}, **kw)(jax.random.PRNGKey(1))
+    bf16 = make_textbook_sampler(params, {}, compute_dtype=jnp.bfloat16, **kw)(
+        jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(np.asarray(bf16)).all()
+    assert float(jnp.abs(f32 - bf16).mean()) < 2e-2
