@@ -183,7 +183,7 @@ def _time_conv_contrib(w_t, t_emb, h, wd):
     return contrib[idx].transpose(2, 0, 1, 3)
 
 
-def _conv1_time_decomposed(p_conv1, x, t_emb):
+def _conv1_time_decomposed(p_conv1, x, t_emb, compute_dtype=None):
     """conv1 applied to concat(x, broadcast(t_emb)) WITHOUT materializing the
     (B,H,W,D) time map or running the (C+D)-channel conv.
 
@@ -191,13 +191,23 @@ def _conv1_time_decomposed(p_conv1, x, t_emb):
     faster for the op at batch 256. Exact up to f32-vs-bf16 conv rounding
     (this path is the more accurate one). Only valid when t_emb is
     per-example constant across H, W — i.e. always, in this model family.
+
+    compute_dtype: bf16 runs the conv and the summed activation in bf16
+    (f32 einsum for the tiny time matrices) — halves this bandwidth-bound
+    op's traffic AND its backward cotangent; without it the decomposed
+    conv1 was the one f32 island in the mixed-precision train step (its
+    f32 wgrad alone measured 104.8 us/step at batch 128, BASELINE.md
+    round-3 training attribution).
     """
     w = p_conv1["w"]
     b = p_conv1["b"]
     cin = x.shape[-1]
     h, wd = x.shape[1], x.shape[2]
-    y = conv2d(x, w[:, :, :cin, :], b)
-    return y + _time_conv_contrib(w[:, :, cin:, :], t_emb, h, wd)
+    contrib = _time_conv_contrib(w[:, :, cin:, :], t_emb, h, wd)
+    if compute_dtype is not None:
+        y = conv2d(x.astype(compute_dtype), w[:, :, :cin, :].astype(compute_dtype))
+        return y + (contrib + b.reshape(1, 1, 1, -1)).astype(compute_dtype)
+    return conv2d(x, w[:, :, :cin, :], b) + contrib
 
 
 def apply(
@@ -236,7 +246,10 @@ def apply(
     if decompose_time_conv and h >= 3 and w >= 3:
         d1 = params["down1"]
         s1 = state["down1"]
-        hx = _conv1_time_decomposed(d1["conv1"], x, t_emb)
+        hx = _conv1_time_decomposed(
+            d1["conv1"], x, t_emb,
+            compute_dtype=compute_dtype if (train and compute_dtype is not None) else None,
+        )
         if train and compute_dtype is not None:
             hx, mn, vr = batch_norm_relu_train(
                 hx, d1["bn1"]["scale"], d1["bn1"]["bias"],
