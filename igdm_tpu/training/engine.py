@@ -73,7 +73,9 @@ def build_scanned_epoch(
     minibatches. On CPU the identical per-step body runs as one jitted step
     driven by a tiny host loop (XLA:CPU runs scanned convs without intra-op
     parallelism, ~44x slower; measured round 1) — both paths derive RNG the
-    same way and compute identical numbers.
+    same way and agree to float rounding (they are different compiled
+    programs; loss ~1e-6 relative, test-pinned — identical behavior
+    measured on the pre-engine round-2 code).
     """
     n_batches = -(-n_images // batch_size)
     grad_fn = jax.value_and_grad(batch_loss, has_aux=True)
