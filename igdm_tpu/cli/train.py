@@ -18,7 +18,7 @@ import os
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="igdm-train", description=__doc__)
-    p.add_argument("--model", choices=["ddpm", "unet4", "mlp"], default="ddpm")
+    p.add_argument("--model", choices=["ddpm", "unet4", "mlp", "flow"], default="ddpm")
     p.add_argument("--data", default=None, help=".mat dataset path (default: bundled)")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=None)
@@ -106,6 +106,28 @@ def main(argv=None) -> int:
             os.path.join(args.out_dir, "mlp_model.npz"),
             **{f"params/{k}/{kk}": v for k, d in params.items() for kk, v in d.items()},
         )
+    elif args.model == "flow":
+        from igdm_tpu.config import TrainConfig
+        from igdm_tpu.training.flow import train_flow
+
+        train_cfg = TrainConfig(
+            batch_size=args.batch_size or 64,
+            epochs=args.epochs,
+            lr=args.lr or 2e-4,
+            patience=args.patience if args.patience is not None else 10,
+            min_delta=args.min_delta,
+            seed=args.seed,
+            ema_decay=args.ema_decay,
+            epochs_per_dispatch=args.epochs_per_dispatch,
+            compute_dtype=args.compute_dtype,
+        )
+        res = train_flow(
+            normalize_pm1(imgs), train_cfg, base_ch=args.base_ch or 32,
+            mid_attn=args.mid_attn, out_dir=args.out_dir, log=print,
+        )
+        for i, l in enumerate(res.losses):
+            metrics.log(i + 1, loss=l)
+        losses = res.losses
     elif args.model == "unet4":
         from igdm_tpu.training.modern import ModernTrainConfig, train_modern
 

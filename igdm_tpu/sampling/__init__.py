@@ -8,6 +8,7 @@ from igdm_tpu.sampling.ancestral import (
     sample_with_sigmas,
 )
 from igdm_tpu.sampling.edit import sample_inpaint
+from igdm_tpu.sampling.flow import sample_flow
 from igdm_tpu.sampling.guided import sample_cfg
 from igdm_tpu.sampling.superres import sample_superres
 
@@ -17,6 +18,7 @@ __all__ = [
     "sample_ddim",
     "sample_distilled",
     "sample_dpmpp2m",
+    "sample_flow",
     "sample_heun",
     "sample_inpaint",
     "sample_karras",

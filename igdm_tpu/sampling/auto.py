@@ -37,6 +37,9 @@ def sample_from_checkpoint(
       * class-conditional checkpoints (meta has ``conditional``) ->
         classifier-free-guided DDIM at ``guidance_scale``; ``label`` fixes
         one class for every image, None cycles through all classes.
+      * rectified-flow checkpoints (meta has ``flow``) -> deterministic ODE
+        integration with ``ddim_steps`` steps (Euler; ``sampler="heun"``
+        selects the 2nd-order solver).
       * DDPM checkpoints -> schedule/model read from metadata; 'auto' picks
         the reference-exact ancestral sampler for unet_small and the textbook
         posterior sampler for unet4.
@@ -73,6 +76,33 @@ def sample_from_checkpoint(
         )
         imgs01 = np.clip(np.asarray(out)[..., 0], 0.0, 1.0)
         return imgs01, {"model": "unet4(modern)", "T": cfg4.num_steps, "sampler": "sigma"}
+
+    if "flow" in meta:  # rectified-flow checkpoint: deterministic ODE solve
+        from igdm_tpu.sampling.flow import sample_flow
+
+        if timesteps is not None:
+            raise ValueError(
+                "--timesteps applies to discrete DDPM schedules; a flow "
+                "checkpoint is continuous-time — use --ddim-steps to set the "
+                "ODE step count."
+            )
+        data_meta = meta.get("data", {})
+        channels = int(data_meta.get("channels", 1))
+        image_size = tuple(data_meta.get("image_size", (32, 32)))
+        method = "heun" if sampler == "heun" else "euler"
+        out = sample_flow(
+            params, key, num_images=num_images, image_size=image_size,
+            channels=channels, steps=ddim_steps, method=method,
+            time_scale=float(meta["flow"].get("time_scale", 1000.0)),
+        )
+        arr = np.asarray(out)
+        imgs01 = np.clip(
+            (arr[..., 0] + 1.0) / 2.0 if channels == 1 else (arr + 1.0) / 2.0,
+            0.0, 1.0,
+        )
+        return imgs01, {
+            "model": model_kind, "T": ddim_steps, "sampler": f"flow-{method}",
+        }
 
     cfg = config_from_dict(DiffusionConfig, meta.get("diff_cfg", {}))
     if timesteps and timesteps != cfg.num_steps:
@@ -228,7 +258,7 @@ def inpaint_from_checkpoint(
     from igdm_tpu.sampling.edit import sample_inpaint
 
     params, state, meta = load_for_sampling(str(path), prefer_ema=prefer_ema)
-    for kind in ("distill", "conditional", "modern_cfg", "superres"):
+    for kind in ("distill", "conditional", "modern_cfg", "superres", "flow"):
         if kind in meta:
             raise ValueError(
                 f"--inpaint needs a plain DDPM checkpoint; {path} is a "

@@ -1,0 +1,107 @@
+"""Flow-matching ODE sampling: integrate the learned velocity field from
+noise (t=1) to data (t=0).
+
+Pairs with :mod:`igdm_tpu.training.flow`. Unlike the stochastic DDPM
+samplers there is no noise injection after t=1 — sampling is a
+deterministic ODE solve, so the whole trajectory is one ``lax.scan`` whose
+body is just the model forward plus an axpy (Euler) or two forwards plus
+an average (Heun). The reference has no counterpart (its samplers are the
+host-loop ancestral chains at src/generate_images.jl:231-245 and
+last_desperate_attempt/src/sample.jl:120-165); this is a framework
+extension in the same TPU shape as every other sampler here: zero
+collectives, zero host round-trips inside the scan, one transfer at the
+end.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from igdm_tpu.models import unet4
+from igdm_tpu.training.flow import TIME_SCALE
+
+
+def make_flow_velocity_fn(params, *, time_scale: float = TIME_SCALE, compute_dtype=None):
+    """Wrap unet4 params as ``velocity_fn(x, t_scalar) -> v`` with the
+    training-time conditioning convention (t in [0,1] scaled by
+    ``time_scale`` into the sinusoidal embedding domain)."""
+
+    def velocity_fn(x, t):
+        ts = jnp.full((x.shape[0],), t, jnp.float32) * time_scale
+        return unet4.apply(
+            params, x, ts, final_sigmoid=False, compute_dtype=compute_dtype
+        )
+
+    return velocity_fn
+
+
+def sample_flow_ode(
+    velocity_fn,
+    key,
+    *,
+    num_images: int = 16,
+    image_size=(32, 32),
+    channels: int = 1,
+    steps: int = 32,
+    method: str = "euler",
+):
+    """Integrate dx/dt = v(x, t) from t=1 (x ~ N(0,I)) to t=0.
+
+    Args:
+      velocity_fn: callable (x, t_scalar) -> velocity, traced under scan.
+      steps: number of integration steps (uniform grid on [0, 1]).
+      method: "euler" (1 model call/step) or "heun" (2 calls/step,
+        2nd-order — the EDM-style solver choice; at equal model-call
+        budget Heun at N/2 steps usually beats Euler at N).
+
+    Returns (N, H, W, C) samples at t=0 (unclamped, data scale [-1,1]).
+    """
+    if method not in ("euler", "heun"):
+        raise ValueError(f"unknown flow ODE method {method!r}")
+    H, W = image_size
+    x = jax.random.normal(key, (num_images, H, W, channels), jnp.float32)
+    # t grid 1 -> 0; scan over (t_cur, t_next) pairs
+    tgrid = jnp.linspace(1.0, 0.0, steps + 1)
+
+    def body(x, tpair):
+        t_cur, t_next = tpair
+        dt = t_next - t_cur  # negative
+        v = velocity_fn(x, t_cur)
+        if method == "euler":
+            return x + dt * v, None
+        x_pred = x + dt * v
+        v_next = velocity_fn(x_pred, t_next)
+        return x + dt * 0.5 * (v + v_next), None
+
+    x, _ = jax.lax.scan(body, x, (tgrid[:-1], tgrid[1:]))
+    return x
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_images", "image_size", "channels", "steps", "method", "time_scale",
+        "compute_dtype",
+    ),
+)
+def sample_flow(
+    params,
+    key,
+    *,
+    num_images: int = 16,
+    image_size=(32, 32),
+    channels: int = 1,
+    steps: int = 32,
+    method: str = "euler",
+    time_scale: float = TIME_SCALE,
+    compute_dtype=None,
+):
+    """Sample from a trained rectified-flow unet4 (one jitted program)."""
+    vfn = make_flow_velocity_fn(params, time_scale=time_scale, compute_dtype=compute_dtype)
+    return sample_flow_ode(
+        vfn, key, num_images=num_images, image_size=tuple(image_size),
+        channels=channels, steps=steps, method=method,
+    )

@@ -1,8 +1,8 @@
 from igdm_tpu.training.train_state import TrainState
 from igdm_tpu.training.lr_schedules import warmup_cosine_lr
-from igdm_tpu.training import conditional, ddpm, distill, mlp_trainer, superres
+from igdm_tpu.training import conditional, ddpm, distill, flow, mlp_trainer, superres
 
 __all__ = [
     "TrainState", "warmup_cosine_lr", "conditional", "ddpm", "distill",
-    "mlp_trainer", "superres",
+    "flow", "mlp_trainer", "superres",
 ]

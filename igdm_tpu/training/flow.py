@@ -1,0 +1,183 @@
+"""Flow-matching (rectified-flow) training — the fifth objective family.
+
+The reference has no continuous-time generative objective (its three
+generations are all discrete-T epsilon-regression DDPMs, SURVEY.md section 2);
+this module extends the framework with conditional flow matching on the
+linear (optimal-transport) probability path (Lipman et al. 2023; Liu et al.
+2022 "rectified flow"):
+
+    x_t = (1 - t) * x0 + t * eps,   t ~ U(0, 1),  eps ~ N(0, I)
+    target velocity  v = dx_t/dt = eps - x0
+    loss = || model(x_t, t) - v ||^2
+
+Sampling is then a deterministic ODE integrated from t=1 (noise) to t=0
+(data) — see :mod:`igdm_tpu.sampling.flow`. Unlike the DDPM families there
+is no schedule, no discrete grid, and no stochastic reverse kernel; the
+model IS the vector field.
+
+Built entirely on the scanned-epoch engine (training/engine.py): this
+trainer is ~40 lines of loss + metadata, which is the point of the round-3
+consolidation — a new objective family costs a batch-loss function, not a
+fifth copy of the training scaffolding. Same TPU shape as every other
+trainer: the whole epoch (or ``epochs_per_dispatch`` of them) is one
+compiled ``lax.scan``; under a ``data`` mesh the gradient means compile to
+ICI all-reduces.
+
+Time conditioning: the unet4 sinusoidal embedding (models/embeddings.py)
+is a traced function of a float timestep, so continuous t rides the same
+path the integer DDPM timesteps do — scaled by ``TIME_SCALE`` so the
+embedding frequencies resolve t-differences of 1/1000 (the standard
+continuous-time convention).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from igdm_tpu.config import TrainConfig
+from igdm_tpu.models import unet4
+from igdm_tpu.training.ddpm import TrainResult, make_optimizer
+from igdm_tpu.training.train_state import TrainState
+
+# continuous t in [0,1] is fed to the sinusoidal embedding as t*TIME_SCALE
+TIME_SCALE = 1000.0
+
+
+def flow_loss(
+    params, x0, t, eps, mask, *, compute_dtype=None, time_scale: float = TIME_SCALE
+):
+    """Masked-mean velocity-matching MSE on the linear path.
+
+    Args:
+      x0: (B,H,W,C) data batch in [-1, 1].
+      t: (B,) float32 times in (0, 1).
+      eps: (B,H,W,C) standard normal noise.
+      mask: (B,) 1.0 for real examples, 0.0 for tail-batch padding.
+    """
+    tb = t.reshape(-1, 1, 1, 1)
+    x_t = (1.0 - tb) * x0 + tb * eps
+    v_target = eps - x0
+    pred = unet4.apply(
+        params, x_t, t * time_scale, final_sigmoid=False, compute_dtype=compute_dtype
+    )
+    per_ex = jnp.mean(jnp.square(pred - v_target), axis=(1, 2, 3))
+    return jnp.sum(per_ex * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def build_flow_epoch_fn(
+    tx: optax.GradientTransformation,
+    batch_size: int,
+    n_images: int,
+    *,
+    ema_decay: float = 0.0,
+    compute_dtype: str | None = None,
+    epochs_per_dispatch: int = 1,
+    time_scale: float = TIME_SCALE,
+) -> Callable:
+    """Compile one epoch: ``epoch_fn(state, imgs) -> (state, loss)`` — the
+    scanned-epoch engine specialized with the flow-matching batch loss
+    (RNG derivation identical to every other engine trainer)."""
+    from igdm_tpu.training.engine import build_scanned_epoch
+
+    cdt = jnp.bfloat16 if compute_dtype in ("bfloat16", "bf16") else None
+
+    def batch_loss(params, model_state, kb, idx, mask, imgs):
+        k_t, k_eps = jax.random.split(kb)
+        x0 = jnp.take(imgs, idx, axis=0)
+        # uniform open-interval times: avoid the t=0 no-op and the t=1
+        # data-free point exactly like the discrete trainers avoid ts=0
+        t = jax.random.uniform(
+            k_t, (batch_size,), jnp.float32, minval=1e-4, maxval=1.0
+        )
+        eps = jax.random.normal(k_eps, x0.shape, jnp.float32)
+        loss = flow_loss(
+            params, x0, t, eps, mask, compute_dtype=cdt, time_scale=time_scale
+        )
+        return loss, model_state
+
+    return build_scanned_epoch(
+        tx, n_images, batch_size, batch_loss,
+        ema_decay=ema_decay, epochs_per_dispatch=epochs_per_dispatch,
+        use_scan=True,
+    )
+
+
+def train_flow(
+    imgs: np.ndarray,
+    train_cfg: TrainConfig | None = None,
+    *,
+    base_ch: int = 32,
+    mid_attn: bool = False,
+    time_scale: float = TIME_SCALE,
+    out_dir: str = ".",
+    save_final: str | None = "flow_model",
+    log: Callable[[str], None] | None = print,
+) -> TrainResult:
+    """Train a rectified-flow velocity field with early stopping.
+
+    Args:
+      imgs: (N, H, W, C) float32 in [-1, 1].
+
+    The final checkpoint records ``flow={"time_scale", "path"}`` so
+    :func:`igdm_tpu.sampling.auto.sample_from_checkpoint` dispatches to the
+    ODE sampler with the training-time conventions (no drift possible —
+    the config rides the checkpoint, SURVEY.md section 5.6).
+    """
+    import os
+
+    from igdm_tpu.checkpoint.pytree_io import save_checkpoint
+    from igdm_tpu.training.engine import dispatch_k, run_epoch_loop
+
+    train_cfg = train_cfg or TrainConfig()
+    n = imgs.shape[0]
+
+    key = jax.random.PRNGKey(train_cfg.seed)
+    kp, kr = jax.random.split(key)
+    params = unet4.init(
+        kp, in_channels=imgs.shape[-1], base_ch=base_ch, mid_attn=mid_attn
+    )
+    tx = make_optimizer(train_cfg)
+    ema = jax.tree_util.tree_map(jnp.array, params) if train_cfg.ema_decay > 0 else None
+    state = TrainState(
+        params=params, model_state={}, opt_state=tx.init(params),
+        step=jnp.asarray(0, jnp.int32), rng=kr, ema_params=ema,
+    )
+
+    k = dispatch_k(train_cfg)
+    kw = dict(
+        ema_decay=train_cfg.ema_decay, compute_dtype=train_cfg.compute_dtype,
+        time_scale=time_scale,
+    )
+    epoch_fn = build_flow_epoch_fn(
+        tx, train_cfg.batch_size, n, epochs_per_dispatch=k, **kw
+    )
+    epoch_fn_single = (
+        epoch_fn if k == 1 else build_flow_epoch_fn(tx, train_cfg.batch_size, n, **kw)
+    )
+    imgs_dev = jnp.asarray(imgs, jnp.float32)
+
+    result = run_epoch_loop(
+        state, (imgs_dev,), epoch_fn, epoch_fn_single, k, train_cfg,
+        TrainResult(state=state), log=log,
+    )
+
+    if save_final:
+        path = os.path.join(out_dir, f"{save_final}.npz")
+        save_checkpoint(
+            path, result.state, train_cfg=train_cfg,
+            epoch=result.epochs_run, model="unet4",
+            data={
+                "channels": int(imgs.shape[-1]),
+                "image_size": [int(imgs.shape[1]), int(imgs.shape[2])],
+                "mid_attn": mid_attn, "base_ch": base_ch,
+            },
+            flow={"time_scale": float(time_scale), "path": "linear"},
+            losses=result.losses,
+        )
+        result.checkpoints.append(path)
+    return result
