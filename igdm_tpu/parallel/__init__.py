@@ -5,6 +5,10 @@ from igdm_tpu.parallel.sharding import (
     shard_batch,
     replicate_tree,
 )
+from igdm_tpu.parallel.zero import (
+    build_zero1_train_step,
+    shard_opt_state_zero1,
+)
 
 __all__ = [
     "make_mesh",
@@ -13,4 +17,6 @@ __all__ = [
     "replicated",
     "shard_batch",
     "replicate_tree",
+    "build_zero1_train_step",
+    "shard_opt_state_zero1",
 ]
