@@ -47,6 +47,7 @@ def sample_flow_ode(
     channels: int = 1,
     steps: int = 32,
     method: str = "euler",
+    x_init=None,
 ):
     """Integrate dx/dt = v(x, t) from t=1 (x ~ N(0,I)) to t=0.
 
@@ -56,13 +57,19 @@ def sample_flow_ode(
       method: "euler" (1 model call/step) or "heun" (2 calls/step,
         2nd-order — the EDM-style solver choice; at equal model-call
         budget Heun at N/2 steps usually beats Euler at N).
+      x_init: optional explicit t=1 state (N,H,W,C) overriding the draw
+        from ``key`` — reflow's coupling generation passes the noise it
+        keeps as the training input (training/flow.generate_coupling).
 
     Returns (N, H, W, C) samples at t=0 (unclamped, data scale [-1,1]).
     """
     if method not in ("euler", "heun"):
         raise ValueError(f"unknown flow ODE method {method!r}")
     H, W = image_size
-    x = jax.random.normal(key, (num_images, H, W, channels), jnp.float32)
+    if x_init is not None:
+        x = x_init
+    else:
+        x = jax.random.normal(key, (num_images, H, W, channels), jnp.float32)
     # t grid 1 -> 0; scan over (t_cur, t_next) pairs
     tgrid = jnp.linspace(1.0, 0.0, steps + 1)
 

@@ -181,3 +181,177 @@ def train_flow(
         )
         result.checkpoints.append(path)
     return result
+
+
+# ---------------------------------------------------------------------------
+# Reflow (rectified-flow distillation, Liu et al. 2022 §3.2): re-train the
+# velocity field on the model's OWN (noise, sample) couplings. The teacher's
+# ODE pairs each eps with the x0 it transports to; training on these fixed
+# pairs (instead of independent draws) straightens the flow's trajectories,
+# so Euler with 1-4 steps approaches the many-step teacher — the flow
+# family's counterpart of progressive distillation (training/distill.py).
+# ---------------------------------------------------------------------------
+
+
+def generate_coupling(
+    params,
+    key,
+    num_pairs: int,
+    *,
+    image_size=(32, 32),
+    channels: int = 1,
+    steps: int = 64,
+    method: str = "heun",
+    batch: int = 256,
+    time_scale: float = TIME_SCALE,
+    compute_dtype=None,
+):
+    """Draw eps ~ N(0,I) and integrate the teacher ODE to its x0 — the
+    deterministic coupling reflow trains on. Runs in ``batch``-sized jitted
+    chunks (the whole trajectory is one scan per chunk); returns
+    ``(x0_hat, eps)`` as (N,H,W,C) float32 device arrays with row i of
+    ``eps`` transporting to row i of ``x0_hat``."""
+    from igdm_tpu.sampling.flow import make_flow_velocity_fn, sample_flow_ode
+
+    vfn = make_flow_velocity_fn(params, time_scale=time_scale, compute_dtype=compute_dtype)
+    H, W = image_size
+    eps_parts, x0_parts = [], []
+    done = 0
+    i = 0
+    solve = jax.jit(
+        lambda e: sample_flow_ode(
+            vfn, None, num_images=batch, image_size=(H, W), channels=channels,
+            steps=steps, method=method, x_init=e,
+        )
+    )
+    while done < num_pairs:
+        kb = jax.random.fold_in(key, i)
+        eps = jax.random.normal(kb, (batch, H, W, channels), jnp.float32)
+        x0 = solve(eps)
+        take = min(batch, num_pairs - done)
+        eps_parts.append(eps[:take])
+        x0_parts.append(x0[:take])
+        done += take
+        i += 1
+    return jnp.concatenate(x0_parts), jnp.concatenate(eps_parts)
+
+
+def build_reflow_epoch_fn(
+    tx: optax.GradientTransformation,
+    batch_size: int,
+    n_pairs: int,
+    *,
+    ema_decay: float = 0.0,
+    compute_dtype: str | None = None,
+    epochs_per_dispatch: int = 1,
+    time_scale: float = TIME_SCALE,
+):
+    """The flow epoch with the coupling FIXED: eps is gathered by the same
+    index as x0 instead of drawn fresh — everything else (t sampling, loss,
+    engine scaffolding) is identical to build_flow_epoch_fn."""
+    from igdm_tpu.training.engine import build_scanned_epoch
+
+    cdt = jnp.bfloat16 if compute_dtype in ("bfloat16", "bf16") else None
+
+    def batch_loss(params, model_state, kb, idx, mask, x0s, epss):
+        k_t, _ = jax.random.split(kb)
+        x0 = jnp.take(x0s, idx, axis=0)
+        eps = jnp.take(epss, idx, axis=0)
+        t = jax.random.uniform(
+            k_t, (batch_size,), jnp.float32, minval=1e-4, maxval=1.0
+        )
+        loss = flow_loss(
+            params, x0, t, eps, mask, compute_dtype=cdt, time_scale=time_scale
+        )
+        return loss, model_state
+
+    return build_scanned_epoch(
+        tx, n_pairs, batch_size, batch_loss,
+        ema_decay=ema_decay, epochs_per_dispatch=epochs_per_dispatch,
+        use_scan=True,
+    )
+
+
+def train_reflow(
+    teacher_ckpt: str,
+    train_cfg: TrainConfig | None = None,
+    *,
+    num_pairs: int = 2048,
+    coupling_steps: int = 64,
+    coupling_method: str = "heun",
+    out_dir: str = ".",
+    save_final: str | None = "reflow_model",
+    seed: int = 0,
+    log: Callable[[str], None] | None = print,
+) -> TrainResult:
+    """2-rectified flow: fine-tune a trained flow checkpoint on its own
+    ODE couplings. The student inherits the teacher's weights (and EMA
+    snapshot when present) and its checkpoint metadata gains
+    ``flow["reflow"] = 1`` — the sampler dispatch is unchanged (same
+    velocity-field interface), only the trajectories are straighter."""
+    import os
+
+    from igdm_tpu.checkpoint.pytree_io import load_for_sampling, save_checkpoint
+    from igdm_tpu.training.engine import dispatch_k, run_epoch_loop
+
+    train_cfg = train_cfg or TrainConfig()
+    params, _, meta = load_for_sampling(teacher_ckpt, prefer_ema=True)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    if "flow" not in meta:
+        raise ValueError(f"{teacher_ckpt} is not a flow checkpoint")
+    time_scale = float(meta["flow"].get("time_scale", TIME_SCALE))
+    data_meta = meta.get("data", {})
+    channels = int(data_meta.get("channels", 1))
+    image_size = tuple(data_meta.get("image_size", (32, 32)))
+    cdt = train_cfg.compute_dtype if train_cfg.compute_dtype != "float32" else None
+
+    key = jax.random.PRNGKey(seed)
+    k_pairs, kr = jax.random.split(key)
+    x0s, epss = generate_coupling(
+        params, k_pairs, num_pairs, image_size=image_size, channels=channels,
+        steps=coupling_steps, method=coupling_method, time_scale=time_scale,
+        compute_dtype=jnp.bfloat16 if cdt else None,
+    )
+    if log:
+        log(f"coupling: {num_pairs} pairs via {coupling_method}-{coupling_steps}")
+
+    tx = make_optimizer(train_cfg)
+    ema = jax.tree_util.tree_map(jnp.array, params) if train_cfg.ema_decay > 0 else None
+    state = TrainState(
+        params=params, model_state={}, opt_state=tx.init(params),
+        step=jnp.asarray(0, jnp.int32), rng=kr, ema_params=ema,
+    )
+    k = dispatch_k(train_cfg)
+    kw = dict(
+        ema_decay=train_cfg.ema_decay, compute_dtype=train_cfg.compute_dtype,
+        time_scale=time_scale,
+    )
+    epoch_fn = build_reflow_epoch_fn(
+        tx, train_cfg.batch_size, num_pairs, epochs_per_dispatch=k, **kw
+    )
+    epoch_fn_single = (
+        epoch_fn if k == 1
+        else build_reflow_epoch_fn(tx, train_cfg.batch_size, num_pairs, **kw)
+    )
+    result = run_epoch_loop(
+        state, (x0s, epss), epoch_fn, epoch_fn_single, k, train_cfg,
+        TrainResult(state=state), log=log,
+    )
+
+    if save_final:
+        path = os.path.join(out_dir, f"{save_final}.npz")
+        save_checkpoint(
+            path, result.state, train_cfg=train_cfg,
+            epoch=result.epochs_run, model="unet4",
+            data=dict(data_meta),
+            flow={
+                "time_scale": time_scale, "path": "linear", "reflow": 1,
+                "coupling": {
+                    "num_pairs": int(num_pairs), "steps": int(coupling_steps),
+                    "method": coupling_method,
+                },
+            },
+            losses=result.losses,
+        )
+        result.checkpoints.append(path)
+    return result

@@ -160,3 +160,59 @@ def test_flow_cli_train(tmp_path):
     assert rc == 0
     assert (tmp_path / "flow_model.npz").exists()
     assert (tmp_path / "training_loss.png").exists()
+
+
+def test_generate_coupling_is_consistent():
+    """Coupling invariant: re-integrating the ODE from the returned eps
+    reproduces the returned x0 (same solver, same grid; tolerance covers
+    the different batch split → different XLA fusion between the chunked
+    generate_coupling jit and the single 12-image re-integration)."""
+    from igdm_tpu.models import unet4
+    from igdm_tpu.sampling.flow import make_flow_velocity_fn, sample_flow_ode
+    from igdm_tpu.training.flow import generate_coupling
+
+    params = unet4.init(jax.random.PRNGKey(0), base_ch=8)
+    x0s, epss = generate_coupling(
+        params, jax.random.PRNGKey(1), 12, image_size=(16, 16), channels=1,
+        steps=4, method="euler", batch=8,
+    )
+    assert x0s.shape == epss.shape == (12, 16, 16, 1)
+    assert np.all(np.isfinite(np.asarray(x0s)))
+    vfn = make_flow_velocity_fn(params)
+    redo = sample_flow_ode(
+        vfn, None, num_images=12, image_size=(16, 16), channels=1,
+        steps=4, method="euler", x_init=epss,
+    )
+    np.testing.assert_allclose(np.asarray(redo), np.asarray(x0s), atol=2e-5)
+
+
+def test_train_reflow_end_to_end(tmp_path):
+    """Reflow fine-tunes a flow checkpoint on its own couplings; the student
+    checkpoint keeps the flow sampler dispatch and records the coupling."""
+    from igdm_tpu.checkpoint.pytree_io import load_for_sampling
+    from igdm_tpu.sampling.auto import sample_from_checkpoint
+    from igdm_tpu.training.flow import train_flow, train_reflow
+
+    rng = np.random.default_rng(2)
+    imgs = rng.uniform(-1, 1, (32, 16, 16, 1)).astype(np.float32)
+    res = train_flow(
+        imgs, TrainConfig(epochs=3, batch_size=8, patience=100),
+        base_ch=8, out_dir=str(tmp_path), log=None,
+    )
+    res2 = train_reflow(
+        res.checkpoints[-1],
+        TrainConfig(epochs=4, batch_size=8, patience=100),
+        num_pairs=16, coupling_steps=2, coupling_method="euler",
+        out_dir=str(tmp_path), log=None,
+    )
+    assert len(res2.losses) == 4
+    assert all(np.isfinite(l) for l in res2.losses)
+    _, _, meta = load_for_sampling(str(tmp_path / "reflow_model.npz"))
+    assert meta["flow"]["reflow"] == 1
+    assert meta["flow"]["coupling"]["num_pairs"] == 16
+    imgs01, info = sample_from_checkpoint(
+        str(tmp_path / "reflow_model.npz"), jax.random.PRNGKey(0),
+        num_images=2, ddim_steps=2,
+    )
+    assert imgs01.shape == (2, 16, 16)
+    assert info["sampler"] == "flow-euler"
