@@ -95,7 +95,8 @@ def check_code_blocks() -> list[str]:
 
 
 _PERF = re.compile(
-    r"~?([0-9]+(?:\.[0-9]+)?)\s*(TFLOP/s|TF/s|samples/s|steps/s|ms/step|GF/s)"
+    r"~?([0-9]{1,3}(?:,[0-9]{3})+(?:\.[0-9]+)?|[0-9]+(?:\.[0-9]+)?)"
+    r"\s*(TFLOP/s|TF/s|samples/s|steps/s|ms/step|GF/s)"
 )
 
 

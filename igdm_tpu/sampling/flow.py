@@ -87,6 +87,39 @@ def sample_flow_ode(
     return x
 
 
+def make_flow_sampler(
+    params,
+    *,
+    num_images: int = 256,
+    image_size=(32, 32),
+    channels: int = 1,
+    steps: int = 8,
+    method: str = "euler",
+    time_scale: float = TIME_SCALE,
+    compute_dtype=None,
+):
+    """Compile a serving-style flow sampler: weights baked in as XLA
+    constants, ``fn(key) -> images`` in ``steps`` (Euler) or ``2*steps``
+    (Heun) deterministic model calls — the flow-family counterpart of
+    :func:`igdm_tpu.sampling.ancestral.make_distilled_sampler`. Use with a
+    reflowed checkpoint (training/flow.train_reflow) for the few-step
+    low-latency operating points; ``compute_dtype=jnp.bfloat16`` runs the
+    U-Net convs at the MXU bf16 rate with the ODE update kept in f32."""
+    vfn = make_flow_velocity_fn(
+        params, time_scale=time_scale, compute_dtype=compute_dtype
+    )
+    H, W = image_size
+
+    @jax.jit
+    def fn(key):
+        return sample_flow_ode(
+            vfn, key, num_images=num_images, image_size=(H, W),
+            channels=channels, steps=steps, method=method,
+        )
+
+    return fn
+
+
 @partial(
     jax.jit,
     static_argnames=(

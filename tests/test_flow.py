@@ -216,3 +216,22 @@ def test_train_reflow_end_to_end(tmp_path):
     )
     assert imgs01.shape == (2, 16, 16)
     assert info["sampler"] == "flow-euler"
+
+
+def test_make_flow_sampler_matches_sample_flow():
+    """The baked-weights serving sampler is the same program as sample_flow
+    with params passed as arguments — identical outputs, f32."""
+    from igdm_tpu.models import unet4
+    from igdm_tpu.sampling.flow import make_flow_sampler, sample_flow
+
+    params = unet4.init(jax.random.PRNGKey(0), base_ch=8)
+    fn = make_flow_sampler(
+        params, num_images=4, image_size=(16, 16), steps=3, method="euler"
+    )
+    got = fn(jax.random.PRNGKey(5))
+    want = sample_flow(
+        params, jax.random.PRNGKey(5), num_images=4, image_size=(16, 16),
+        steps=3, method="euler",
+    )
+    assert got.shape == (4, 16, 16, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

@@ -486,3 +486,37 @@ def test_zero1_opt_state_bytes_drop_per_device():
     o_sh = shard_opt_state_zero1(mesh, opt_state)
     sharded_bytes = opt_state_bytes_per_device(o_sh)
     assert sharded_bytes < replicated_bytes / 4, (sharded_bytes, replicated_bytes)
+
+
+def test_data_parallel_flow_epoch_matches_single_device():
+    """The flow family rides the same engine: a sharded flow epoch must
+    compute the same loss as unsharded (XLA inserts the collectives)."""
+    from igdm_tpu.config import TrainConfig
+    from igdm_tpu.models import unet4
+    from igdm_tpu.training.ddpm import make_optimizer
+    from igdm_tpu.training.flow import build_flow_epoch_fn
+    from igdm_tpu.training.train_state import TrainState
+
+    tr = TrainConfig(batch_size=8)
+    tx = make_optimizer(tr)
+    imgs = jax.random.normal(jax.random.PRNGKey(3), (32, 16, 16, 1), jnp.float32)
+
+    def run(mesh):
+        kp, kr = jax.random.split(jax.random.PRNGKey(0))
+        params = unet4.init(kp, base_ch=8)
+        state = TrainState(
+            params=params, model_state={}, opt_state=tx.init(params),
+            step=jnp.asarray(0, jnp.int32), rng=kr,
+        )
+        epoch_fn = build_flow_epoch_fn(tx, tr.batch_size, 32)
+        x = imgs
+        if mesh is not None:
+            x = shard_batch(mesh, x)
+            state = state.replace(params=replicate_tree(mesh, state.params))
+        state, loss = epoch_fn(state, x)
+        return float(loss)
+
+    loss_single = run(None)
+    loss_sharded = run(make_mesh(8))
+    assert np.isfinite(loss_single) and np.isfinite(loss_sharded)
+    assert abs(loss_single - loss_sharded) < 1e-4
