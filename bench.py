@@ -171,6 +171,40 @@ def bench_distilled(path: str, batch: int = 256, R: int = 20):
     return batch / per_traj, len(grid) - 1
 
 
+def bench_reflow(path: str, batch: int = 256, R: int = 100, steps: int = 1):
+    """Reflowed rectified-flow serving throughput (1 model call/traj —
+    BASELINE.md reflow table). Same in-program-repeat harness as
+    bench_distilled."""
+    from igdm_tpu.checkpoint.pytree_io import load_for_sampling
+    from igdm_tpu.sampling.flow import make_flow_sampler
+
+    params, _, meta = load_for_sampling(path, prefer_ema=True)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    fn = make_flow_sampler(
+        params, num_images=batch, steps=steps, method="euler",
+        time_scale=float(meta["flow"].get("time_scale", 1000.0)),
+        compute_dtype=jnp.bfloat16,
+    )
+
+    @jax.jit
+    def multi(key):
+        def body(acc, i):
+            return acc + jnp.mean(fn(jax.random.fold_in(key, i))), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(R))
+        return acc
+
+    key = jax.random.PRNGKey(0)
+    _sync(multi(key))
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _sync(multi(jax.random.fold_in(key, 100 + i)))
+        times.append(time.perf_counter() - t0)
+    per_traj = min(times) / R
+    return batch / per_traj
+
+
 def main():
     import tempfile
 
@@ -237,6 +271,14 @@ def main():
             record[f"distilled{n_steps}_samples_per_sec"] = round(sps, 1)
         except Exception as e:  # bench must never fail on an optional metric
             print(f"[bench] distilled bench skipped: {e}", file=sys.stderr)
+    reflow_ckpt = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts", "reflow64_model.npz"
+    )
+    if os.path.exists(reflow_ckpt):  # 1-call serving operating point
+        try:
+            record["reflow1_samples_per_sec"] = round(bench_reflow(reflow_ckpt), 1)
+        except Exception as e:
+            print(f"[bench] reflow bench skipped: {e}", file=sys.stderr)
     print(json.dumps(record))
 
 

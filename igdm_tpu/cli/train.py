@@ -18,7 +18,9 @@ import os
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="igdm-train", description=__doc__)
-    p.add_argument("--model", choices=["ddpm", "unet4", "mlp", "flow"], default="ddpm")
+    p.add_argument(
+        "--model", choices=["ddpm", "unet4", "mlp", "flow", "reflow"], default="ddpm"
+    )
     p.add_argument("--data", default=None, help=".mat dataset path (default: bundled)")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=None)
@@ -34,6 +36,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-devices", type=int, default=None, help="data-parallel mesh size")
     p.add_argument("--base-ch", type=int, default=None, help="unet4 base width (default 80)")
     p.add_argument("--resume", default=None, help="checkpoint to resume DDPM training from")
+    p.add_argument(
+        "--teacher", default=None,
+        help="--model reflow: trained flow checkpoint to distill (2-rectified flow)",
+    )
+    p.add_argument(
+        "--coupling-pairs", type=int, default=4096,
+        help="--model reflow: number of teacher ODE couplings to generate",
+    )
+    p.add_argument(
+        "--coupling-steps", type=int, default=64,
+        help="--model reflow: teacher ODE steps per coupling (heun)",
+    )
     p.add_argument("--cifar", default=None, help="CIFAR-10 batches dir (stretch config)")
     p.add_argument("--grayscale", action="store_true", help="convert CIFAR to 1 channel")
     p.add_argument(
@@ -124,6 +138,32 @@ def main(argv=None) -> int:
         res = train_flow(
             normalize_pm1(imgs), train_cfg, base_ch=args.base_ch or 32,
             mid_attn=args.mid_attn, out_dir=args.out_dir, log=print,
+        )
+        for i, l in enumerate(res.losses):
+            metrics.log(i + 1, loss=l)
+        losses = res.losses
+    elif args.model == "reflow":
+        from igdm_tpu.config import TrainConfig
+        from igdm_tpu.training.flow import train_reflow
+
+        if not args.teacher:
+            print("--model reflow requires --teacher <flow checkpoint>")
+            return 2
+        train_cfg = TrainConfig(
+            batch_size=args.batch_size or 128,
+            epochs=args.epochs,
+            lr=args.lr or 1e-4,
+            patience=args.patience if args.patience is not None else 10,
+            min_delta=args.min_delta,
+            seed=args.seed,
+            ema_decay=args.ema_decay,
+            epochs_per_dispatch=args.epochs_per_dispatch,
+            compute_dtype=args.compute_dtype,
+        )
+        res = train_reflow(
+            args.teacher, train_cfg, num_pairs=args.coupling_pairs,
+            coupling_steps=args.coupling_steps, out_dir=args.out_dir,
+            seed=args.seed, log=print,
         )
         for i, l in enumerate(res.losses):
             metrics.log(i + 1, loss=l)

@@ -235,3 +235,23 @@ def test_make_flow_sampler_matches_sample_flow():
     )
     assert got.shape == (4, 16, 16, 1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_reflow_cli(tmp_path):
+    """igdm-train --model reflow: teacher checkpoint -> reflowed student."""
+    from igdm_tpu.cli.train import main
+
+    rc = main([
+        "--model", "flow", "--epochs", "2", "--batch-size", "16",
+        "--base-ch", "8", "--patience", "100", "--out-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    rc = main([
+        "--model", "reflow", "--teacher", str(tmp_path / "flow_model.npz"),
+        "--epochs", "2", "--batch-size", "8", "--coupling-pairs", "16",
+        "--coupling-steps", "2", "--patience", "100", "--out-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    assert (tmp_path / "reflow_model.npz").exists()
+    rc = main(["--model", "reflow", "--epochs", "1"])
+    assert rc == 2  # --teacher is required
