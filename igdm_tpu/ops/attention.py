@@ -36,9 +36,30 @@ def init_attention(key, channels: int):
     }
 
 
-def spatial_self_attention(params, x, *, heads: int = 4, groups: int = 8):
+def _flash_eligible(n_tokens: int, head_dim: int) -> bool:
+    """The Pallas kernel needs lane-aligned tokens and a head dim that maps
+    onto the 128-lane register file; the measured win starts at 1024 tokens
+    (BASELINE.md round-3 flash table — below that, XLA's materialized
+    softmax is already VMEM-resident and ties)."""
+    return (
+        n_tokens >= 1024
+        and n_tokens % 128 == 0
+        and (head_dim <= 128 or head_dim % 128 == 0)
+    )
+
+
+def spatial_self_attention(params, x, *, heads: int = 4, groups: int = 8,
+                           use_flash: bool | None = None):
     """Pre-norm residual self-attention over the spatial positions of
-    (B, H, W, C); returns the same shape."""
+    (B, H, W, C); returns the same shape.
+
+    use_flash: route the softmax-attention core through the Pallas
+    FlashAttention kernel (`ops/pallas/flash_attention.py`). Default (None)
+    auto-selects it on TPU for >= 1024 tokens, where it is measured
+    1.2-3.2x faster than the XLA einsum path and never materializes the
+    (N, N) logits (BASELINE.md round-3 flash table). False forces the XLA
+    reference path.
+    """
     b, h, w, c = x.shape
     hd = c // heads
 
@@ -51,9 +72,16 @@ def spatial_self_attention(params, x, *, heads: int = 4, groups: int = 8):
         return t.reshape(b, h * w, heads, hd).transpose(0, 2, 1, 3)  # (B, Hd, N, hd)
 
     q, k, v = split_heads(q), split_heads(k), split_heads(v)
-    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
-    attn = jax.nn.softmax(logits / jnp.sqrt(hd), axis=-1)
-    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    if use_flash is None:
+        use_flash = jax.default_backend() == "tpu" and _flash_eligible(h * w, hd)
+    if use_flash:
+        from igdm_tpu.ops.pallas.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v, scale=float(1.0 / (hd**0.5)))
+    else:
+        logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(logits / jnp.sqrt(hd), axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
     out = jnp.einsum("bnc,cd->bnd", out, params["proj"]["w"]) + params["proj"]["b"]
     return x + out.reshape(b, h, w, c)

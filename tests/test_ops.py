@@ -245,3 +245,90 @@ def test_group_norm_silu_train_bf16_keeps_dtype():
     x = jax.random.normal(jax.random.PRNGKey(12), (2, 4, 4, 16), jnp.bfloat16)
     y = group_norm_silu_train(x, jnp.ones(16), jnp.zeros(16), groups=4)
     assert y.dtype == jnp.bfloat16
+
+
+# ---------------------------------------------------------------------------
+# Pallas FlashAttention
+
+
+def _flash_case(key, b, h, n, d, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, n, d), dtype)
+    k = jax.random.normal(kk, (b, h, n, d), dtype)
+    v = jax.random.normal(kv, (b, h, n, d), dtype)
+    return q, k, v
+
+
+def test_flash_attention_matches_reference():
+    from igdm_tpu.ops.pallas.flash_attention import flash_attention, mha_reference
+
+    for i, (b, h, n, d) in enumerate([(2, 3, 256, 32), (1, 2, 512, 64), (1, 1, 256, 128)]):
+        q, k, v = _flash_case(jax.random.PRNGKey(10 + i), b, h, n, d)
+        got = flash_attention(q, k, v, block_q=128, block_k=128)
+        want = mha_reference(q, k, v, scale=1.0 / d**0.5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_uneven_blocks():
+    # block_q != block_k and blocks smaller than N exercise both tilings
+    from igdm_tpu.ops.pallas.flash_attention import flash_attention, mha_reference
+
+    q, k, v = _flash_case(jax.random.PRNGKey(20), 1, 2, 512, 32)
+    got = flash_attention(q, k, v, block_q=256, block_k=128)
+    want = mha_reference(q, k, v, scale=1.0 / 32**0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_grads_match_reference():
+    from igdm_tpu.ops.pallas.flash_attention import flash_attention, mha_reference
+
+    q, k, v = _flash_case(jax.random.PRNGKey(21), 1, 2, 256, 32)
+
+    def lf(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(q, k, v, block_q=128, block_k=128)))
+
+    def lr(q, k, v):
+        return jnp.sum(jnp.sin(mha_reference(q, k, v, scale=1.0 / 32**0.5)))
+
+    gf = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_bf16():
+    from igdm_tpu.ops.pallas.flash_attention import flash_attention, mha_reference
+
+    q, k, v = _flash_case(jax.random.PRNGKey(22), 1, 2, 256, 32, jnp.bfloat16)
+    got = flash_attention(q, k, v, block_q=128, block_k=128)
+    assert got.dtype == jnp.bfloat16
+    want = mha_reference(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        scale=1.0 / 32**0.5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), rtol=0.05, atol=0.02
+    )
+
+
+def test_flash_attention_rejects_bad_shapes():
+    import pytest
+
+    from igdm_tpu.ops.pallas.flash_attention import flash_attention
+
+    q, k, v = _flash_case(jax.random.PRNGKey(23), 1, 1, 192, 32)
+    with pytest.raises(ValueError):
+        flash_attention(q, k, v)  # N=192 not divisible by the 128-lane blocks
+
+
+def test_spatial_attention_flash_path_matches_xla_path():
+    from igdm_tpu.ops.attention import init_attention, spatial_self_attention
+
+    key = jax.random.PRNGKey(24)
+    params = init_attention(key, 32)
+    # make proj non-zero so the attention output actually matters
+    params["proj"]["w"] = jax.random.normal(jax.random.fold_in(key, 1), (32, 32)) * 0.1
+    x = jax.random.normal(jax.random.fold_in(key, 2), (2, 16, 16, 32))
+    ref = spatial_self_attention(params, x, use_flash=False)
+    got = spatial_self_attention(params, x, use_flash=True)  # interpret on CPU
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
