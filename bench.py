@@ -205,6 +205,40 @@ def bench_reflow(path: str, batch: int = 256, R: int = 100, steps: int = 1):
     return batch / per_traj
 
 
+def bench_consistency(path: str, batch: int = 256, R: int = 100):
+    """Consistency-distilled 1-call serving throughput (same in-program
+    repeat harness as bench_distilled/bench_reflow)."""
+    from igdm_tpu.checkpoint.pytree_io import load_for_sampling
+    from igdm_tpu.config import DiffusionConfig, config_from_dict
+    from igdm_tpu.sampling.consistency import make_consistency_sampler
+
+    params, _, meta = load_for_sampling(path, prefer_ema=False)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    cfg = config_from_dict(DiffusionConfig, meta.get("diff_cfg", {}))
+    fn = make_consistency_sampler(
+        params, meta["consistency"]["grid"], cfg=cfg, num_images=batch,
+        steps=1, model_kind=meta.get("model", "unet4"),
+        compute_dtype=jnp.bfloat16,
+    )
+
+    @jax.jit
+    def multi(key):
+        def body(acc, i):
+            return acc + jnp.mean(fn(jax.random.fold_in(key, i))), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(R))
+        return acc
+
+    key = jax.random.PRNGKey(0)
+    _sync(multi(key))
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _sync(multi(jax.random.fold_in(key, 100 + i)))
+        times.append(time.perf_counter() - t0)
+    return batch / (min(times) / R)
+
+
 def main():
     import tempfile
 
@@ -279,6 +313,14 @@ def main():
             record["reflow1_samples_per_sec"] = round(bench_reflow(reflow_ckpt), 1)
         except Exception as e:
             print(f"[bench] reflow bench skipped: {e}", file=sys.stderr)
+    cd_ckpt = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts", "consistency_model.npz"
+    )
+    if os.path.exists(cd_ckpt):  # consistency-distilled 1-call operating point
+        try:
+            record["consistency1_samples_per_sec"] = round(bench_consistency(cd_ckpt), 1)
+        except Exception as e:
+            print(f"[bench] consistency bench skipped: {e}", file=sys.stderr)
     print(json.dumps(record))
 
 

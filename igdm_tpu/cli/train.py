@@ -19,7 +19,9 @@ import os
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="igdm-train", description=__doc__)
     p.add_argument(
-        "--model", choices=["ddpm", "unet4", "mlp", "flow", "reflow"], default="ddpm"
+        "--model",
+        choices=["ddpm", "unet4", "mlp", "flow", "reflow", "consistency"],
+        default="ddpm",
     )
     p.add_argument("--data", default=None, help=".mat dataset path (default: bundled)")
     p.add_argument("--epochs", type=int, default=100)
@@ -38,7 +40,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default=None, help="checkpoint to resume DDPM training from")
     p.add_argument(
         "--teacher", default=None,
-        help="--model reflow: trained flow checkpoint to distill (2-rectified flow)",
+        help="--model reflow: trained flow checkpoint to distill (2-rectified "
+        "flow); --model consistency: trained DDPM checkpoint to distill",
+    )
+    p.add_argument(
+        "--cd-steps", type=int, default=4000,
+        help="--model consistency: total distillation optimization steps",
+    )
+    p.add_argument(
+        "--cd-grid", type=int, default=18,
+        help="--model consistency: sub-grid intervals N for the self-consistency pairs",
     )
     p.add_argument(
         "--coupling-pairs", type=int, default=4096,
@@ -168,6 +179,22 @@ def main(argv=None) -> int:
         for i, l in enumerate(res.losses):
             metrics.log(i + 1, loss=l)
         losses = res.losses
+    elif args.model == "consistency":
+        from igdm_tpu.training.consistency import consistency_distill_checkpoint
+
+        if not args.teacher:
+            print("--model consistency requires --teacher <DDPM checkpoint>")
+            return 2
+        out_path = os.path.join(args.out_dir, "consistency_model.npz")
+        _, _, _, losses = consistency_distill_checkpoint(
+            args.teacher, normalize_pm1(imgs), n_grid=args.cd_grid,
+            steps=args.cd_steps, batch_size=args.batch_size or 64,
+            lr=args.lr or 1e-4, compute_dtype=args.compute_dtype,
+            seed=args.seed, out_path=out_path, log=print,
+        )
+        for i, l in enumerate(losses):
+            metrics.log(i + 1, loss=l)
+        print(f"saved {out_path}")
     elif args.model == "unet4":
         from igdm_tpu.training.modern import ModernTrainConfig, train_modern
 

@@ -7,6 +7,7 @@ from igdm_tpu.sampling.ancestral import (
     sample_karras,
     sample_with_sigmas,
 )
+from igdm_tpu.sampling.consistency import sample_consistency
 from igdm_tpu.sampling.edit import sample_inpaint
 from igdm_tpu.sampling.flow import sample_flow
 from igdm_tpu.sampling.guided import sample_cfg
@@ -14,6 +15,7 @@ from igdm_tpu.sampling.superres import sample_superres
 
 __all__ = [
     "sample_cfg",
+    "sample_consistency",
     "sample_ddpm",
     "sample_ddim",
     "sample_distilled",

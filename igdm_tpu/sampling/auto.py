@@ -111,8 +111,12 @@ def sample_from_checkpoint(
         # rebuilds the training schedule from diff_cfg — overriding T for
         # either silently mis-indexes (jnp clamps out-of-bounds gathers)
         # instead of erroring, so refuse up front.
-        if "distill" in meta or "conditional" in meta:
-            kind = "distilled" if "distill" in meta else "conditional"
+        if "distill" in meta or "conditional" in meta or "consistency" in meta:
+            kind = (
+                "distilled" if "distill" in meta
+                else "consistency" if "consistency" in meta
+                else "conditional"
+            )
             raise ValueError(
                 f"--timesteps {timesteps} conflicts with this {kind} checkpoint's "
                 f"training schedule (T={cfg.num_steps}); the override is only valid "
@@ -138,6 +142,23 @@ def sample_from_checkpoint(
         imgs01 = (arr[..., 0] + 1.0) / 2.0 if channels == 1 else (arr + 1.0) / 2.0
         return imgs01, {
             "model": model_kind, "T": len(grid) - 1, "sampler": "distilled",
+        }
+
+    if "consistency" in meta:  # consistency-distilled model: 1-2 call f
+        from igdm_tpu.sampling.consistency import sample_consistency
+
+        cmeta = meta["consistency"]
+        grid = cmeta["grid"]
+        steps = int(cmeta.get("default_steps", 1))
+        out = sample_consistency(
+            params, grid, key, num_images=num_images, steps=steps, cfg=cfg,
+            channels=channels, image_size=image_size, model_kind=model_kind,
+            model_state=state, sigma_data=float(cmeta.get("sigma_data", 0.5)),
+        )
+        arr = np.clip(np.asarray(out), -1.0, 1.0)
+        imgs01 = (arr[..., 0] + 1.0) / 2.0 if channels == 1 else (arr + 1.0) / 2.0
+        return imgs01, {
+            "model": model_kind, "T": steps, "sampler": "consistency",
         }
 
     if "conditional" in meta:  # classifier-free-guided sampling
@@ -258,7 +279,9 @@ def inpaint_from_checkpoint(
     from igdm_tpu.sampling.edit import sample_inpaint
 
     params, state, meta = load_for_sampling(str(path), prefer_ema=prefer_ema)
-    for kind in ("distill", "conditional", "modern_cfg", "superres", "flow"):
+    for kind in (
+        "distill", "conditional", "modern_cfg", "superres", "flow", "consistency"
+    ):
         if kind in meta:
             raise ValueError(
                 f"--inpaint needs a plain DDPM checkpoint; {path} is a "
