@@ -21,7 +21,7 @@ as compatibility aliases, and ``demo()`` (documented but never implemented in
 the reference) implemented for real.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"  # keep in sync with pyproject.toml and CHANGELOG.md
 
 from igdm_tpu.api import (
     apply_noise,
