@@ -28,6 +28,11 @@ def build_parser() -> argparse.ArgumentParser:
         "unet_small, textbook posterior for unet4",
     )
     p.add_argument("--ddim-steps", type=int, default=50, help="steps for --sampler ddim/dpmpp")
+    p.add_argument(
+        "--steps", type=int, default=None,
+        help="model calls for consistency checkpoints (1 = pure consistency; "
+        "2/4 = multistep refinement)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="samples.png")
     p.add_argument("--per-image", action="store_true", help="also save generated_image_i.png per image")
@@ -117,6 +122,7 @@ def main(argv=None) -> int:
         prefer_ema=args.ema,
         label=args.label,
         guidance_scale=args.guidance,
+        steps=args.steps,
     )
     save_sample_grid(imgs01, args.out, title="Generated Images")
     print(

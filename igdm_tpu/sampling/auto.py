@@ -24,6 +24,7 @@ def sample_from_checkpoint(
     prefer_ema: bool = False,
     label: int | None = None,
     guidance_scale: float = 2.0,
+    steps: int | None = None,
 ):
     """Load any checkpoint and sample from it.
 
@@ -149,16 +150,19 @@ def sample_from_checkpoint(
 
         cmeta = meta["consistency"]
         grid = cmeta["grid"]
-        steps = int(cmeta.get("default_steps", 1))
+        # explicit ``steps`` (CLI --steps) overrides the checkpoint's
+        # default_steps, making the multistep 2/4-call operating points
+        # reachable through this entry point (round-3 advisor finding)
+        n_calls = int(steps) if steps is not None else int(cmeta.get("default_steps", 1))
         out = sample_consistency(
-            params, grid, key, num_images=num_images, steps=steps, cfg=cfg,
+            params, grid, key, num_images=num_images, steps=n_calls, cfg=cfg,
             channels=channels, image_size=image_size, model_kind=model_kind,
             model_state=state, sigma_data=float(cmeta.get("sigma_data", 0.5)),
         )
         arr = np.clip(np.asarray(out), -1.0, 1.0)
         imgs01 = (arr[..., 0] + 1.0) / 2.0 if channels == 1 else (arr + 1.0) / 2.0
         return imgs01, {
-            "model": model_kind, "T": steps, "sampler": "consistency",
+            "model": model_kind, "T": n_calls, "sampler": "consistency",
         }
 
     if "conditional" in meta:  # classifier-free-guided sampling

@@ -25,14 +25,19 @@ from igdm_tpu.training.distill import _coeffs
 
 
 def _mid_indices(n_grid: int, steps: int) -> np.ndarray:
-    """Descending grid indices for the re-noise points of an S-step sample:
-    evenly spaced interior boundaries (excluding t_N, which seeds step 1,
-    and t_0)."""
+    """Descending grid indices for the re-noise points of an S-step sample.
+
+    Interior midpoints of an even partition of [0, n_grid] (Song et al. 2023,
+    alg. 1): steps=2 re-noises at the mid-grid point (t ~ T/2, where the
+    signal coefficient is still large), not at the extreme boundaries —
+    re-noising at index n_grid-1 keeps only ~9% of the step-1 estimate on
+    a T=500 linear schedule (nearly an independent resample), and index 1
+    is a near-identity call (f ~ id by the boundary condition)."""
     if steps < 2:
         return np.zeros((0,), np.int64)
-    return np.unique(
-        np.round(np.linspace(n_grid - 1, 1, steps - 1)).astype(np.int64)
-    )[::-1]
+    pts = np.round(np.linspace(n_grid, 0, steps + 1)).astype(np.int64)[1:-1]
+    pts = pts[(pts > 0) & (pts < n_grid)]
+    return np.unique(pts)[::-1]
 
 
 def _sample_consistency_impl(

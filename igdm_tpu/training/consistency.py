@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from igdm_tpu.config import DiffusionConfig
+from igdm_tpu.config import DiffusionConfig, config_from_dict
 from igdm_tpu.diffusion.schedules import alphas_cumprod, betas_for_config
 from igdm_tpu.training.distill import _coeffs, _to_x0_eps
 
@@ -229,7 +229,9 @@ def consistency_distill_checkpoint(
 
     params, state, meta = load_for_sampling(teacher_ckpt, prefer_ema=prefer_ema)
     params = jax.tree_util.tree_map(jnp.asarray, params)
-    diff_cfg = DiffusionConfig(**meta.get("diff_cfg", {}))
+    # tolerant of extra/unknown metadata keys, like every other loader
+    # (sampling/auto.py, bench.py): forward/backward-compatible checkpoints
+    diff_cfg = config_from_dict(DiffusionConfig, meta.get("diff_cfg", {}))
     model_kind = meta.get("model", "unet4")
     objective = (meta.get("train_cfg") or {}).get("objective", "eps")
 
@@ -250,6 +252,7 @@ def consistency_distill_checkpoint(
         consistency={
             "grid": [int(g) for g in grid], "sigma_data": SIGMA_DATA,
             "teacher": str(teacher_ckpt), "steps_trained": int(len(losses)),
+            "default_steps": 1,
         },
         losses=losses,
     )

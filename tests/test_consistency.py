@@ -56,6 +56,24 @@ def test_consistency_grid_endpoints_and_spacing():
         consistency_grid(5, 18)
 
 
+def test_mid_indices_interior_placement():
+    """Multistep re-noise points sit at interior midpoints of an even
+    partition (Song et al. alg. 1), never at the extreme boundaries:
+    steps=2 on an 18-interval grid re-noises at mid-grid (index 9, t ~ T/2),
+    not at index 17 (which keeps only ~9%% of the 1-step estimate on a
+    T=500 linear schedule) — round-3 advisor finding."""
+    from igdm_tpu.sampling.consistency import _mid_indices
+
+    assert _mid_indices(18, 1).tolist() == []
+    assert _mid_indices(18, 2).tolist() == [9]
+    assert _mid_indices(18, 3).tolist() == [12, 6]
+    assert _mid_indices(18, 4).tolist() == [14, 9, 4]
+    for steps in range(2, 8):
+        m = _mid_indices(18, steps)
+        assert (m > 0).all() and (m < 18).all()
+        assert (np.diff(m) < 0).all()
+
+
 def test_consistency_distill_end_to_end_tiny():
     """CD a tiny random unet4 on CPU: losses finite and falling, and both
     the 1-step and multistep samplers produce finite images with the
@@ -138,6 +156,13 @@ def test_consistency_checkpoint_auto_dispatch(tmp_path):
     assert imgs01.shape == (2, 32, 32)
     assert np.isfinite(imgs01).all()
     assert imgs01.min() >= 0.0 and imgs01.max() <= 1.0
+    # explicit steps override reaches the multistep operating points
+    # through the same entry point (CLI --steps; round-3 advisor finding)
+    imgs2, info2 = sample_from_checkpoint(
+        path, jax.random.PRNGKey(1), num_images=2, steps=2
+    )
+    assert info2["T"] == 2
+    assert not np.allclose(imgs01, imgs2)
     with pytest.raises(ValueError, match="consistency"):
         sample_from_checkpoint(path, jax.random.PRNGKey(1), num_images=2, timesteps=8)
 
