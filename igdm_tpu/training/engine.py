@@ -56,8 +56,21 @@ def build_scanned_epoch(
     ema_decay: float = 0.0,
     epochs_per_dispatch: int = 1,
     use_scan: bool | None = None,
+    drop_remainder: bool = False,
+    per_epoch_lr: bool = False,
 ) -> Callable:
     """Compile ``epoch_fn(state, *data) -> (state, loss)``.
+
+    ``drop_remainder`` truncates to full batches (the modern recipe's
+    behavior, last_desperate_attempt/src/train_net.jl:202 consumes exactly
+    N//bs batches per pass); the default pads the tail batch and hands the
+    trainer a validity ``mask``.
+
+    ``per_epoch_lr`` adds a scalar argument after ``state`` —
+    ``epoch_fn(state, lr, *data)`` — forwarded to ``tx.update(..., lr=lr)``:
+    the Flux.adjust! equivalent (train_net.jl:200) that lets a host-computed
+    LR schedule drive an injected-hyperparams optimizer. Incompatible with
+    ``epochs_per_dispatch`` > 1 (the scalar is per-dispatch).
 
     With ``epochs_per_dispatch`` > 1 the returned function scans k epochs
     inside ONE jitted call and returns the per-epoch loss vector — the same
@@ -77,10 +90,12 @@ def build_scanned_epoch(
     programs; loss ~1e-6 relative, test-pinned — identical behavior
     measured on the pre-engine round-2 code).
     """
-    n_batches = -(-n_images // batch_size)
+    if per_epoch_lr and epochs_per_dispatch > 1:
+        raise ValueError("per_epoch_lr requires epochs_per_dispatch == 1")
+    n_batches = n_images // batch_size if drop_remainder else -(-n_images // batch_size)
     grad_fn = jax.value_and_grad(batch_loss, has_aux=True)
 
-    def step_body(st: TrainState, key, perm, b, data):
+    def step_body(st: TrainState, key, perm, b, lr, data):
         kb = jax.random.fold_in(key, b + 1)
         pos = b * batch_size + jnp.arange(batch_size)
         idx = perm[pos % n_images]
@@ -88,7 +103,10 @@ def build_scanned_epoch(
         (loss, new_mstate), grads = grad_fn(
             st.params, st.model_state, kb, idx, mask, *data
         )
-        updates, new_opt = tx.update(grads, st.opt_state, st.params)
+        if per_epoch_lr:
+            updates, new_opt = tx.update(grads, st.opt_state, st.params, lr=lr)
+        else:
+            updates, new_opt = tx.update(grads, st.opt_state, st.params)
         new_params = optax.apply_updates(st.params, updates)
         new_ema = st.ema_params
         if ema_decay > 0:
@@ -112,12 +130,12 @@ def build_scanned_epoch(
 
     if use_scan:
 
-        def one_epoch(state: TrainState, *data):
+        def one_epoch(state: TrainState, lr, *data):
             key = jax.random.fold_in(state.rng, state.step)
             perm = jax.random.permutation(key, n_images)
 
             def body(carry, b):
-                return step_body(carry, key, perm, b, data)
+                return step_body(carry, key, perm, b, lr, data)
 
             state, losses = jax.lax.scan(body, state, jnp.arange(n_batches))
             return state, jnp.mean(losses)
@@ -127,34 +145,48 @@ def build_scanned_epoch(
             @partial(jax.jit, donate_argnums=(0,))
             def multi_epoch_fn(state: TrainState, *data):
                 def eb(st, _):
-                    return one_epoch(st, *data)
+                    return one_epoch(st, None, *data)
 
                 return jax.lax.scan(eb, state, None, length=epochs_per_dispatch)
 
             return multi_epoch_fn
 
+        if per_epoch_lr:
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def epoch_fn_lr(state: TrainState, lr, *data):
+                return one_epoch(state, lr, *data)
+
+            return epoch_fn_lr
+
         @partial(jax.jit, donate_argnums=(0,))
         def epoch_fn(state: TrainState, *data):
-            return one_epoch(state, *data)
+            return one_epoch(state, None, *data)
 
         return epoch_fn
 
     @partial(jax.jit, donate_argnums=(0,))
-    def step_fn(state, key, perm, b, *data):
-        return step_body(state, key, perm, b, data)
+    def step_fn(state, key, perm, b, lr, *data):
+        return step_body(state, key, perm, b, lr, data)
 
     @jax.jit
     def epoch_setup(state):
         key = jax.random.fold_in(state.rng, state.step)
         return key, jax.random.permutation(key, n_images)
 
-    def epoch_fn(state: TrainState, *data):
+    def _host_epoch(state: TrainState, lr, *data):
         key, perm = epoch_setup(state)
         losses = []
         for b in range(n_batches):
-            state, loss = step_fn(state, key, perm, jnp.asarray(b), *data)
+            state, loss = step_fn(state, key, perm, jnp.asarray(b), lr, *data)
             losses.append(loss)
         return state, jnp.mean(jnp.stack(losses))
+
+    if per_epoch_lr:
+        return _host_epoch
+
+    def epoch_fn(state: TrainState, *data):
+        return _host_epoch(state, None, *data)
 
     return epoch_fn
 
@@ -180,15 +212,22 @@ def run_epoch_loop(
     best: float = float("inf"),
     no_improve: int = 0,
     on_block_end: Callable[[int, int, TrainState, float, int], None] | None = None,
+    epoch_lr: Callable[[int], float] | None = None,
 ):
     """The host-side driver: dispatch epochs (k at a time when possible),
     track losses, early-stop on patience/min_delta (src/train_brain.jl:282-292),
     and hand each completed block to ``on_block_end`` (checkpointing).
 
+    ``epoch_lr(epoch)`` (1-based), when given, computes the scalar passed to
+    a ``per_epoch_lr`` epoch function — the host side of the Flux.adjust!
+    schedule (train_net.jl:57-68,200); requires k == 1.
+
     Mutates and returns ``result`` (a TrainResult). With k > 1 a mid-block
     stop is detected here but the state has already advanced to the block
     end — documented trade (the dispatch saving is the point).
     """
+    if epoch_lr is not None and k > 1:
+        raise ValueError("epoch_lr requires k == 1 (the scalar is per-epoch)")
     result.state = state
     result.epochs_run = start_epoch
     t0 = time.time()
@@ -198,6 +237,12 @@ def run_epoch_loop(
         if k > 1 and remaining >= k:
             state, losses_vec = epoch_fn(state, *data)
             block = [float(x) for x in np.asarray(losses_vec)]
+        elif epoch_lr is not None:
+            lr = epoch_lr(epoch + 1)
+            state, loss = epoch_fn_single(
+                state, jnp.asarray(lr, jnp.float32), *data
+            )
+            block = [float(loss)]
         else:
             state, loss = epoch_fn_single(state, *data)
             block = [float(loss)]

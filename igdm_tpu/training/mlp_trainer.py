@@ -4,15 +4,14 @@ The reference's ``train_brain`` (src/ImageGenerationDiffusionModels.jl:128-161)
 loads the 500 images, noises each once with ``apply_noise``, and runs
 per-sample ``Flux.train!`` steps with ADAM — 500 singleton steps per epoch on
 host. Here: the 500 (noisy, clean) pairs are built with the closed-form
-noise transform, moved to device once, and each epoch is a single compiled
-``lax.scan`` over shuffled minibatches. Early stopping follows the README's
-documented ``train(data, lr, epochs, patience, min_delta)`` contract
-(README.md:23).
+noise transform, moved to device once, and the epoch loop runs on the shared
+scanned-epoch engine (training/engine.py) — the MLP trainer is just a batch
+loss function. Early stopping follows the README's documented
+``train(data, lr, epochs, patience, min_delta)`` contract (README.md:23).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
@@ -55,54 +54,49 @@ def train_mlp(
     (src/ImageGenerationDiffusionModels.jl:147 uses ADAM() with no lr).
     Pass patience/min_delta for the README-documented early stopping.
     """
+    from igdm_tpu.config import TrainConfig
+    from igdm_tpu.training.ddpm import TrainResult
+    from igdm_tpu.training.engine import build_scanned_epoch, run_epoch_loop
+    from igdm_tpu.training.train_state import TrainState
+
     key = jax.random.PRNGKey(seed)
     k_init, k_noise, k_shuf = jax.random.split(key, 3)
     if params is None:
         params = mlp.init(k_init)
     noisy, clean = build_pairs(imgs, k_noise)
     n = noisy.shape[0]
-    n_batches = -(-n // batch_size)
 
     tx = optax.adam(lr)
-    opt_state = tx.init(params)
+    state = TrainState(
+        params=params, model_state={}, opt_state=tx.init(params),
+        step=jnp.asarray(0, jnp.int32), rng=k_shuf,
+    )
 
-    def loss_fn(p, x, y):
-        return jnp.mean(jnp.square(mlp.apply(p, x) - y))
+    def batch_loss(p, model_state, kb, idx, mask, noisy, clean):
+        x = jnp.take(noisy, idx, axis=0)
+        y = jnp.take(clean, idx, axis=0)
+        return jnp.mean(jnp.square(mlp.apply(p, x) - y)), model_state
 
-    grad_fn = jax.value_and_grad(loss_fn)
+    # always use_scan: a 2-layer MLP scans fine on XLA:CPU (the conv caveat
+    # in build_scanned_epoch's docstring doesn't apply to dense matmuls)
+    epoch_fn = build_scanned_epoch(
+        tx, n, batch_size, batch_loss, use_scan=True
+    )
+    result = TrainResult(state=state)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def epoch_fn(p, opt, epoch_idx):
-        kp = jax.random.fold_in(k_shuf, epoch_idx)
-        perm = jax.random.permutation(kp, n)
-
-        def body(carry, bidx):
-            p, opt = carry
-            pos = (bidx * batch_size + jnp.arange(batch_size)) % n
-            idx = perm[pos]
-            loss, grads = grad_fn(p, jnp.take(noisy, idx, axis=0), jnp.take(clean, idx, axis=0))
-            updates, opt = tx.update(grads, opt, p)
-            return (optax.apply_updates(p, updates), opt), loss
-
-        (p, opt), losses = jax.lax.scan(body, (p, opt), jnp.arange(n_batches))
-        return p, opt, jnp.mean(losses)
-
-    losses = []
-    best = float("inf")
-    no_improve = 0
-    for epoch in range(1, epochs + 1):
-        params, opt_state, loss = epoch_fn(params, opt_state, epoch)
-        loss = float(loss)
-        losses.append(loss)
+    def on_block_end(epoch, _blk, _st, _best, _ni):
         if log and epoch % 10 == 0:
-            log(f" epoch {epoch} -> training loss = {loss:.6f}")
-        if patience is not None:
-            if loss < best - min_delta:
-                best, no_improve = loss, 0
-            else:
-                no_improve += 1
-                if no_improve > patience:
-                    if log:
-                        log(f"Early stopping at epoch {epoch}")
-                    break
-    return params, losses
+            log(f" epoch {epoch} -> training loss = {result.losses[-1]:.6f}")
+
+    loop_cfg = TrainConfig(
+        epochs=epochs,
+        patience=patience if patience is not None else 10**9,
+        min_delta=min_delta,
+    )
+    run_epoch_loop(
+        state, (noisy, clean), epoch_fn, epoch_fn, 1, loop_cfg, result,
+        log=None, on_block_end=on_block_end,
+    )
+    if result.stopped_early and log:
+        log(f"Early stopping at epoch {result.epochs_run}")
+    return result.state.params, result.losses

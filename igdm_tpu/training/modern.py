@@ -19,7 +19,6 @@ Like training.ddpm, one epoch = one compiled lax.scan over minibatches.
 from __future__ import annotations
 
 import os
-import time
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Callable
@@ -29,10 +28,11 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from igdm_tpu.config import UNet4Config
+from igdm_tpu.config import TrainConfig, UNet4Config
 from igdm_tpu.data.mat import normalize_zscore
 from igdm_tpu.diffusion.schedules import alphas_cumprod, linear_beta_schedule, sigma_from_alpha_bar
 from igdm_tpu.models import unet4
+from igdm_tpu.training.engine import run_epoch_loop
 from igdm_tpu.training.lr_schedules import warmup_cosine_lr
 from igdm_tpu.training.train_state import TrainState
 
@@ -72,61 +72,28 @@ def diffusion_loss(params, x0, ts, eps, sigmas, *, final_sigmoid: bool):
 
 
 def build_epoch_fn(tx, cfg: ModernTrainConfig, n_images: int, *, use_scan: bool | None = None) -> Callable:
-    """One compiled epoch; lax.scan on TPU, jitted-step host loop on CPU
-    (same rationale and identical RNG derivation as training.ddpm)."""
+    """One compiled epoch on the shared engine
+    (:func:`igdm_tpu.training.engine.build_scanned_epoch`): the modern
+    recipe is just a batch-loss function plus ``per_epoch_lr`` (the
+    Flux.adjust! schedule injection) and ``drop_remainder`` (the reference
+    consumes exactly N//bs batches per pass, train_net.jl:202)."""
+    from igdm_tpu.training.engine import build_scanned_epoch
+
     sigmas = jnp.asarray(sigma_schedule(cfg), jnp.float32)
-    n_batches = n_images // cfg.batch_size  # reference drops the remainder
     T, B = cfg.num_steps, cfg.batch_size
     loss_fn = partial(diffusion_loss, final_sigmoid=cfg.final_sigmoid)
-    grad_fn = jax.value_and_grad(loss_fn)
-    if use_scan is None:
-        use_scan = jax.default_backend() != "cpu"
 
-    def step_body(st, imgs, key, perm, lr, b):
-        kb = jax.random.fold_in(key, b + 1)
+    def batch_loss(params, model_state, kb, idx, mask, imgs):
         k_t, k_eps = jax.random.split(kb)
-        idx = jax.lax.dynamic_slice_in_dim(perm, b * B, B)
         x0 = jnp.take(imgs, idx, axis=0)
         ts = jax.random.randint(k_t, (B,), 1, T + 1)
         eps = jax.random.normal(k_eps, x0.shape, jnp.float32)
-        loss, grads = grad_fn(st.params, x0, ts, eps, sigmas)
-        updates, new_opt = tx.update(grads, st.opt_state, st.params, lr=lr)
-        new_params = optax.apply_updates(st.params, updates)
-        return st.replace(params=new_params, opt_state=new_opt, step=st.step + 1), loss
+        return loss_fn(params, x0, ts, eps, sigmas), model_state
 
-    if use_scan:
-
-        @partial(jax.jit, donate_argnums=(0,))
-        def epoch_fn(state: TrainState, imgs, lr):
-            key = jax.random.fold_in(state.rng, state.step)
-            perm = jax.random.permutation(key, n_images)
-
-            def body(st, b):
-                return step_body(st, imgs, key, perm, lr, b)
-
-            state, losses = jax.lax.scan(body, state, jnp.arange(n_batches))
-            return state, jnp.mean(losses)
-
-        return epoch_fn
-
-    @partial(jax.jit, donate_argnums=(0,))
-    def step_fn(state, imgs, key, perm, lr, b):
-        return step_body(state, imgs, key, perm, lr, b)
-
-    @jax.jit
-    def epoch_setup(state):
-        key = jax.random.fold_in(state.rng, state.step)
-        return key, jax.random.permutation(key, n_images)
-
-    def epoch_fn(state: TrainState, imgs, lr):
-        key, perm = epoch_setup(state)
-        losses = []
-        for b in range(n_batches):
-            state, loss = step_fn(state, imgs, key, perm, lr, jnp.asarray(b))
-            losses.append(loss)
-        return state, jnp.mean(jnp.stack(losses))
-
-    return epoch_fn
+    return build_scanned_epoch(
+        tx, n_images, B, batch_loss,
+        drop_remainder=True, per_epoch_lr=True, use_scan=use_scan,
+    )
 
 
 def _make_tx(cfg: ModernTrainConfig):
@@ -162,6 +129,8 @@ class ModernTrainResult:
     stopped_early: bool = False
     wall_seconds: float = 0.0
     checkpoints: list = field(default_factory=list)
+    early_stop_best: float = float("inf")
+    early_stop_no_improve: int = 0
 
 
 def train_modern(
@@ -193,10 +162,8 @@ def train_modern(
     imgs_dev = jnp.asarray(imgs)
 
     result = ModernTrainResult(state=state, mu=mu, sigma=sigma)
-    best = float("inf")
-    patience = 0
-    t0 = time.time()
-    for epoch in range(1, cfg.epochs + 1):
+
+    def lr_for(epoch: int) -> float:
         lr = warmup_cosine_lr(
             epoch,
             lr_start=cfg.lr_start,
@@ -204,34 +171,28 @@ def train_modern(
             warmup_epochs=cfg.warmup_epochs,
             total_epochs=cfg.epochs,
         )
-        state, loss = epoch_fn(state, imgs_dev, jnp.asarray(lr, jnp.float32))
-        loss = float(loss)
-        result.losses.append(loss)
         result.lrs.append(lr)
-        result.epochs_run = epoch
-        result.state = state
-        if log:
-            log(f"Epoch {epoch} - lr={lr:.4g} - loss={loss:.5f}")
+        return lr
 
-        if loss < best - 1e-8:
-            best, patience = loss, 0
-        else:
-            patience += 1
-            if patience >= cfg.patience:
-                if log:
-                    log("Early stopping.")
-                result.stopped_early = True
-                break
-
+    def on_block_end(epoch, _blk, st, _best, _no_improve):
         if cfg.checkpoint_every and epoch % cfg.checkpoint_every == 0:
             path = os.path.join(out_dir, f"checkpoint_epoch{epoch}.npz")
             save_checkpoint(
-                path, state, epoch=epoch, norm={"mu": mu, "sigma": sigma},
+                path, st, epoch=epoch, norm={"mu": mu, "sigma": sigma},
                 model="unet4", modern_cfg=cfg,
             )
             result.checkpoints.append(path)
 
-    result.wall_seconds = time.time() - t0
+    # engine patience counts strictly-greater; the reference stops at
+    # patience >= PATIENCE (train_net.jl:216-227) — shift by one to match
+    loop_cfg = TrainConfig(
+        epochs=cfg.epochs, patience=cfg.patience - 1, min_delta=1e-8,
+    )
+    run_epoch_loop(
+        state, (imgs_dev,), epoch_fn, epoch_fn, 1, loop_cfg, result,
+        log=log, on_block_end=on_block_end, epoch_lr=lr_for,
+    )
+
     final = os.path.join(out_dir, "final_model.npz")
     save_checkpoint(
         final, result.state, epoch=result.epochs_run, norm={"mu": mu, "sigma": sigma},
