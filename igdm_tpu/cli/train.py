@@ -20,7 +20,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="igdm-train", description=__doc__)
     p.add_argument(
         "--model",
-        choices=["ddpm", "unet4", "mlp", "flow", "reflow", "consistency"],
+        choices=["ddpm", "unet4", "mlp", "flow", "reflow", "consistency",
+                 "conditional", "superres"],
         default="ddpm",
     )
     p.add_argument("--data", default=None, help=".mat dataset path (default: bundled)")
@@ -58,6 +59,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--coupling-steps", type=int, default=64,
         help="--model reflow: teacher ODE steps per coupling (heun)",
+    )
+    p.add_argument(
+        "--classes", type=int, default=8,
+        help="--model conditional: number of k-means pseudo-classes "
+        "(data/labels.kmeans_labels; the dataset ships no labels)",
+    )
+    p.add_argument(
+        "--drop-prob", type=float, default=0.1,
+        help="--model conditional: classifier-free label-dropout probability",
+    )
+    p.add_argument(
+        "--factor", type=int, default=4,
+        help="--model superres: upscaling factor (low-res pairs derived by "
+        "average pooling)",
     )
     p.add_argument("--cifar", default=None, help="CIFAR-10 batches dir (stretch config)")
     p.add_argument("--grayscale", action="store_true", help="convert CIFAR to 1 channel")
@@ -195,6 +210,68 @@ def main(argv=None) -> int:
         for i, l in enumerate(losses):
             metrics.log(i + 1, loss=l)
         print(f"saved {out_path}")
+    elif args.model == "conditional":
+        from igdm_tpu.config import DiffusionConfig, TrainConfig
+        from igdm_tpu.data.labels import kmeans_labels
+        from igdm_tpu.training.conditional import train_conditional_ddpm
+
+        K = args.classes
+        # cluster in display space like the recorded recipe
+        # (artifacts/samples_conditional_cfg2.png provenance)
+        labels = kmeans_labels((imgs + 1.0) / 2.0, k=K, seed=args.seed)
+        diff_cfg = DiffusionConfig(
+            num_steps=args.timesteps or 500, schedule=args.schedule
+        )
+        train_cfg = TrainConfig(
+            batch_size=args.batch_size or 64,
+            epochs=args.epochs,
+            lr=args.lr or 2e-4,
+            patience=args.patience if args.patience is not None else 10,
+            min_delta=args.min_delta,
+            seed=args.seed,
+            ema_decay=args.ema_decay,
+            epochs_per_dispatch=args.epochs_per_dispatch,
+            compute_dtype=args.compute_dtype,
+        )
+        res = train_conditional_ddpm(
+            normalize_pm1(imgs), labels, K, diff_cfg, train_cfg,
+            drop_prob=args.drop_prob, base_ch=args.base_ch or 32,
+            mid_attn=args.mid_attn, out_dir=args.out_dir, log=print,
+        )
+        for i, l in enumerate(res.losses):
+            metrics.log(i + 1, loss=l)
+        losses = res.losses
+    elif args.model == "superres":
+        import numpy as np
+
+        from igdm_tpu.config import DiffusionConfig, TrainConfig
+        from igdm_tpu.training.superres import train_superres
+
+        # min-max scale to a true [-1,1]: normalize_pm1's x2-1 spans
+        # [-3.14, 1.28] on the bundled data and fights the samplers' clip
+        lo_v, hi_v = float(imgs.min()), float(imgs.max())
+        hr = (2.0 * (imgs - lo_v) / (hi_v - lo_v) - 1.0).astype(np.float32)
+        diff_cfg = DiffusionConfig(
+            num_steps=args.timesteps or 500, schedule=args.schedule
+        )
+        train_cfg = TrainConfig(
+            batch_size=args.batch_size or 64,
+            epochs=args.epochs,
+            lr=args.lr or 2e-4,
+            patience=args.patience if args.patience is not None else 10,
+            min_delta=args.min_delta,
+            seed=args.seed,
+            ema_decay=args.ema_decay,
+            epochs_per_dispatch=args.epochs_per_dispatch,
+            compute_dtype=args.compute_dtype,
+        )
+        res = train_superres(
+            hr, args.factor, diff_cfg, train_cfg, base_ch=args.base_ch or 32,
+            out_dir=args.out_dir, log=print,
+        )
+        for i, l in enumerate(res.losses):
+            metrics.log(i + 1, loss=l)
+        losses = res.losses
     elif args.model == "unet4":
         from igdm_tpu.training.modern import ModernTrainConfig, train_modern
 

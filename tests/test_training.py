@@ -214,6 +214,66 @@ def test_cli_train_and_sample_ddpm(tmp_path, monkeypatch):
     assert (tmp_path / "samples.png").is_file()
 
 
+def test_cli_train_and_sample_conditional(tmp_path, monkeypatch):
+    """igdm-train --model conditional end-to-end: k-means pseudo-labels,
+    CFG-ready checkpoint, sampled via igdm-sample --label/--guidance
+    (the reference CLI contract generalized,
+    last_desperate_attempt/src/sample.jl:3-30)."""
+    from igdm_tpu.checkpoint.pytree_io import load_for_sampling
+    from igdm_tpu.cli.sample import main as sample_main
+    from igdm_tpu.cli.train import main as train_main
+
+    monkeypatch.chdir(tmp_path)
+    rc = train_main([
+        "--model", "conditional", "--epochs", "2", "--timesteps", "8",
+        "--batch-size", "100", "--classes", "3", "--base-ch", "8",
+        "--patience", "100", "--out-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    ckpt = tmp_path / "conditional_model.npz"
+    assert ckpt.is_file()
+    _, _, meta = load_for_sampling(str(ckpt))
+    assert meta["conditional"]["num_classes"] == 3
+    rc = sample_main([
+        str(ckpt), "2", "--label", "1", "--guidance", "1.5",
+        "--ddim-steps", "4", "--out", str(tmp_path / "cond.png"),
+    ])
+    assert rc == 0
+    assert (tmp_path / "cond.png").is_file()
+
+
+def test_cli_train_and_upscale_superres(tmp_path, monkeypatch):
+    """igdm-train --model superres end-to-end: SR3-style x4 checkpoint,
+    then igdm-upscale on a PNG input."""
+    from igdm_tpu.checkpoint.pytree_io import load_for_sampling
+    from igdm_tpu.cli.train import main as train_main
+    from igdm_tpu.cli.upscale import main as upscale_main
+
+    monkeypatch.chdir(tmp_path)
+    rc = train_main([
+        "--model", "superres", "--epochs", "2", "--timesteps", "8",
+        "--batch-size", "100", "--factor", "4", "--base-ch", "8",
+        "--patience", "100", "--out-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    ckpt = tmp_path / "superres_model.npz"
+    assert ckpt.is_file()
+    _, _, meta = load_for_sampling(str(ckpt))
+    assert meta["superres"]["factor"] == 4
+
+    import matplotlib.image as mpimg
+    import numpy as np
+
+    lowres = np.random.default_rng(0).uniform(0, 1, (8, 8)).astype(np.float32)
+    mpimg.imsave(str(tmp_path / "low.png"), lowres, cmap="gray", vmin=0, vmax=1)
+    rc = upscale_main([
+        str(ckpt), str(tmp_path / "low.png"),
+        "--steps", "4", "--out", str(tmp_path / "up.png"),
+    ])
+    assert rc == 0
+    assert (tmp_path / "up.png").is_file()
+
+
 def test_cli_sample_from_reference_bson(tmp_path, monkeypatch):
     if not os.path.isfile("/root/reference/trained_model.bson"):
         pytest.skip("reference not available")
@@ -397,3 +457,37 @@ def test_engine_scan_and_host_loop_paths_identical():
     np.testing.assert_allclose(l_scan, l_host, rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(p_scan), jax.tree_util.tree_leaves(p_host)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_strip_checkpoint_keeps_sampling_surface(tmp_path):
+    """igdm-strip drops opt_state/step/rng, keeps params+EMA+meta, and the
+    stripped file still samples through the auto dispatcher."""
+    import numpy as np
+
+    from igdm_tpu.checkpoint.pytree_io import load_for_sampling
+    from igdm_tpu.cli.strip import main as strip_main
+    from igdm_tpu.sampling.auto import sample_from_checkpoint
+    from igdm_tpu.training.ddpm import train_ddpm
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(-1, 1, (32, 32, 32, 1)).astype(np.float32)
+    res = train_ddpm(
+        imgs, DiffusionConfig(num_steps=5),
+        TrainConfig(batch_size=16, epochs=1, patience=50, checkpoint_every=0,
+                    ema_decay=0.9),
+        out_dir=str(tmp_path), log=None,
+    )
+    full = str(tmp_path / "trained_model.npz")
+    stripped = str(tmp_path / "sampling_only.npz")
+    assert strip_main([full, stripped]) == 0
+    with np.load(stripped) as z:
+        prefixes = {k.split("/")[0] for k in z.files}
+    assert "opt_state" not in prefixes and "step" not in prefixes
+    assert "params" in prefixes and "ema_params" in prefixes and "__meta__" in prefixes
+    import os
+    assert os.path.getsize(stripped) < os.path.getsize(full)
+
+    import jax
+
+    imgs01, info = sample_from_checkpoint(stripped, jax.random.PRNGKey(0), num_images=2)
+    assert imgs01.shape[0] == 2 and np.isfinite(imgs01).all()
