@@ -130,3 +130,19 @@ def load_checkpoint(path: str, template: TrainState | None = None) -> tuple[dict
         ema_params=ema,
     )
     return state, meta
+
+
+def strip_for_sampling(path: str, out_path: str) -> str:
+    """Copy a checkpoint keeping only what sampling needs: params, EMA
+    params, model_state (BatchNorm stats) and metadata. Optimizer moments,
+    step and RNG are dropped — they triple the file and only matter for
+    resume (artifacts/README.md size policy)."""
+    with np.load(path, allow_pickle=False) as z:
+        keep = {
+            k: z[k]
+            for k in z.files
+            if k == "__meta__"
+            or k.split("/")[0] in ("params", "ema_params", "model_state")
+        }
+    np.savez(out_path, **keep)
+    return out_path
