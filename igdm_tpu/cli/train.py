@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--mid-attn", action="store_true", help="bottleneck self-attention (stretch)")
     p.add_argument(
+        "--attn-levels", type=int, nargs="*", default=None, metavar="L",
+        help="unet4 down-path levels (1-based) that get self-attention, "
+        "mirrored in the decoder; --attn-levels 2 at --image-size 64 puts "
+        "attention on the 32x32 maps (N=1024: the FlashAttention path)",
+    )
+    p.add_argument(
         "--schedule", choices=["linear", "cosine"], default="linear",
         help="beta schedule for --model ddpm (cosine = Improved-DDPM quality recipe)",
     )
@@ -315,6 +321,7 @@ def main(argv=None) -> int:
         res = train_ddpm(
             normalize_pm1(imgs), diff_cfg, train_cfg, mesh=mesh, out_dir=args.out_dir,
             resume_from=args.resume, mid_attn=args.mid_attn,
+            attn_levels=tuple(args.attn_levels or ()),
             model_kind=args.backbone, base_ch=args.base_ch or 64, log=print,
         )
         for i, l in enumerate(res.losses):

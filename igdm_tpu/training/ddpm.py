@@ -78,12 +78,16 @@ def init_train_state(
     channels: int = 1,
     *,
     mid_attn: bool = False,
+    attn_levels: tuple = (),
     model_kind: str = "unet_small",
     base_ch: int = 64,
 ):
     kp, kr = jax.random.split(key)
     if model_kind == "unet4":
-        params = unet4.init(kp, in_channels=channels, base_ch=base_ch, mid_attn=mid_attn)
+        params = unet4.init(
+            kp, in_channels=channels, base_ch=base_ch, mid_attn=mid_attn,
+            attn_levels=attn_levels,
+        )
         model_state = {}
     else:
         params, model_state = unet_small.init(
@@ -196,6 +200,7 @@ def train_ddpm(
     save_final: str | None = "trained_model",
     resume_from: str | None = None,
     mid_attn: bool = False,
+    attn_levels: tuple = (),
     model_kind: str = "unet_small",
     base_ch: int = 64,
     log: Callable[[str], None] | None = print,
@@ -219,12 +224,13 @@ def train_ddpm(
     key = jax.random.PRNGKey(train_cfg.seed)
     state, tx = init_train_state(
         key, diff_cfg, train_cfg, channels=imgs.shape[-1], mid_attn=mid_attn,
-        model_kind=model_kind, base_ch=base_ch,
+        attn_levels=attn_levels, model_kind=model_kind, base_ch=base_ch,
     )
     data_meta = {
         "channels": int(imgs.shape[-1]),
         "image_size": [int(imgs.shape[1]), int(imgs.shape[2])],
         "mid_attn": mid_attn,
+        "attn_levels": [int(l) for l in attn_levels],
         "base_ch": base_ch,
     }
 

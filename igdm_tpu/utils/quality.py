@@ -58,3 +58,47 @@ def evaluate_samples(samples: np.ndarray, dataset: np.ndarray) -> dict:
         "pairwise_diversity": pairwise_diversity(samples),
         "n_samples": int(samples.shape[0]),
     }
+
+
+METRICS = ("nn_mse", "coverage", "pairwise_diversity")
+
+
+def evaluate_sampler(
+    sample_fn,
+    dataset: np.ndarray,
+    *,
+    n_samples: int = 512,
+    seeds=(0, 1, 2),
+    batch: int = 256,
+) -> dict:
+    """Seeds-aware quality evaluation (round-4 error-bar protocol).
+
+    ``sample_fn(key, n) -> (n, H, W[, C])`` draws n samples in the
+    dataset's space. Each seed draws ``n_samples`` images (in ``batch``
+    chunks off one PRNG stream) and is scored independently; the report
+    carries mean ± population std across seeds per metric, so
+    cross-family claims can be checked against sampling noise instead of
+    resting on single-seed point estimates (round-3 verdict, Weak #5).
+    """
+    import jax
+
+    per_seed = []
+    for s in seeds:
+        key = jax.random.PRNGKey(s)
+        chunks, done, i = [], 0, 0
+        while done < n_samples:
+            n = min(batch, n_samples - done)
+            chunks.append(np.asarray(sample_fn(jax.random.fold_in(key, i), n)))
+            done += n
+            i += 1
+        per_seed.append(evaluate_samples(np.concatenate(chunks), dataset))
+
+    report = {
+        "n_samples": int(n_samples),
+        "seeds": [int(s) for s in seeds],
+        "per_seed": per_seed,
+    }
+    for m in METRICS:
+        vals = np.asarray([p[m] for p in per_seed], np.float64)
+        report[m] = {"mean": float(vals.mean()), "std": float(vals.std())}
+    return report

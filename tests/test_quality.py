@@ -1,6 +1,7 @@
 """Sample-quality metric tests."""
 
 import numpy as np
+import pytest
 
 from igdm_tpu.utils.quality import coverage, evaluate_samples, nn_mse, pairwise_diversity
 
@@ -41,3 +42,30 @@ def test_evaluate_samples_keys():
     data = rng.standard_normal((30, 16)).astype(np.float32)
     m = evaluate_samples(data[:5], data)
     assert set(m) == {"nn_mse", "coverage", "pairwise_diversity", "n_samples"}
+
+
+def test_evaluate_sampler_error_bars():
+    """Seeds-aware protocol: per-seed reports + mean/std aggregation, and
+    the sampler receives distinct keys across seeds and chunks."""
+    import jax
+
+    from igdm_tpu.utils.quality import METRICS, evaluate_sampler
+
+    rng = np.random.default_rng(0)
+    data = rng.uniform(0, 1, (40, 8, 8)).astype(np.float32)
+    seen = []
+
+    def sample_fn(key, n):
+        seen.append(tuple(np.asarray(jax.random.key_data(key)).tolist()))
+        k = int(np.asarray(jax.random.key_data(key)).astype(np.int64).sum() % 7)
+        return data[(np.arange(n) + k) % len(data)] + rng.normal(0, 0.01, (n, 8, 8)).astype(np.float32)
+
+    rep = evaluate_sampler(sample_fn, data, n_samples=24, seeds=(0, 1, 2), batch=10)
+    assert rep["n_samples"] == 24 and len(rep["per_seed"]) == 3
+    assert len(seen) == len(set(seen)) == 9  # 3 seeds x 3 chunks, all distinct
+    for m in METRICS:
+        assert set(rep[m]) == {"mean", "std"}
+        per = [p[m] for p in rep["per_seed"]]
+        assert rep[m]["mean"] == pytest.approx(float(np.mean(per)))
+        assert rep[m]["std"] == pytest.approx(float(np.std(per)))
+    assert rep["nn_mse"]["mean"] < 0.01  # near-copies of the data
