@@ -242,6 +242,15 @@ def bench_consistency(path: str, batch: int = 256, R: int = 100):
 def main():
     import tempfile
 
+    # persistent compile cache: the relay's remote-compile latency is
+    # multi-minute per cold program this session (round-4 note); warm
+    # cache entries from prior runs make the bench start in seconds
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     explicit_profile = os.environ.get("IGDM_PROFILE")
     tmp_root = tempfile.mkdtemp(prefix="igdm_bench_prof_")
     samp_prof = explicit_profile or os.path.join(tmp_root, "sampling")
