@@ -102,3 +102,50 @@ def evaluate_sampler(
         vals = np.asarray([p[m] for p in per_seed], np.float64)
         report[m] = {"mean": float(vals.mean()), "std": float(vals.std())}
     return report
+
+
+def _main(argv=None) -> int:
+    """CLI: score a checkpoint with the error-bar protocol.
+
+        python -m igdm_tpu.utils.quality ckpt.npz --n-samples 512 --seeds 0 1 2
+
+    Samples through sampling.auto.sample_from_checkpoint (any checkpoint
+    kind) and prints the mean±std report as JSON.
+    """
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(prog="igdm-quality", description=_main.__doc__)
+    p.add_argument("checkpoint")
+    p.add_argument("--data", default=None, help=".mat dataset (default: bundled)")
+    p.add_argument("--n-samples", type=int, default=512)
+    p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--sampler", default="auto")
+    p.add_argument("--ddim-steps", type=int, default=50)
+    p.add_argument("--ema", action="store_true")
+    args = p.parse_args(argv)
+
+    from igdm_tpu.data.mat import load_synthetic_images
+    from igdm_tpu.sampling.auto import sample_from_checkpoint
+
+    raw = load_synthetic_images(args.data)
+    d01 = (raw[..., 0] + 1.0) / 2.0
+
+    def sample_fn(key, n):
+        imgs01, _ = sample_from_checkpoint(
+            args.checkpoint, key, num_images=n, sampler=args.sampler,
+            ddim_steps=args.ddim_steps, prefer_ema=args.ema,
+        )
+        return imgs01
+
+    rep = evaluate_sampler(
+        sample_fn, d01, n_samples=args.n_samples, seeds=tuple(args.seeds),
+        batch=args.batch,
+    )
+    print(json.dumps(rep, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())

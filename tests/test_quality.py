@@ -69,3 +69,28 @@ def test_evaluate_sampler_error_bars():
         assert rep[m]["mean"] == pytest.approx(float(np.mean(per)))
         assert rep[m]["std"] == pytest.approx(float(np.std(per)))
     assert rep["nn_mse"]["mean"] < 0.01  # near-copies of the data
+
+
+def test_quality_cli_on_checkpoint(tmp_path, monkeypatch, capsys):
+    """python -m igdm_tpu.utils.quality end-to-end on a tiny checkpoint."""
+    import json
+
+    from igdm_tpu.training.ddpm import train_ddpm
+    from igdm_tpu.config import DiffusionConfig, TrainConfig
+    from igdm_tpu.utils.quality import _main
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(-1, 1, (32, 32, 32, 1)).astype(np.float32)
+    train_ddpm(
+        imgs, DiffusionConfig(num_steps=5),
+        TrainConfig(batch_size=16, epochs=1, patience=50, checkpoint_every=0),
+        out_dir=str(tmp_path), log=None,
+    )
+    rc = _main([
+        str(tmp_path / "trained_model.npz"),
+        "--n-samples", "8", "--seeds", "0", "1", "--batch", "4",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["n_samples"] == 8 and len(rep["per_seed"]) == 2
+    assert "mean" in rep["nn_mse"] and "std" in rep["nn_mse"]
