@@ -21,7 +21,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--model",
         choices=["ddpm", "unet4", "mlp", "flow", "reflow", "consistency",
-                 "conditional", "superres"],
+                 "conditional", "superres", "latent"],
         default="ddpm",
     )
     p.add_argument("--data", default=None, help=".mat dataset path (default: bundled)")
@@ -73,6 +73,19 @@ def build_parser() -> argparse.ArgumentParser:
         "--factor", type=int, default=4,
         help="--model superres: upscaling factor (low-res pairs derived by "
         "average pooling)",
+    )
+    p.add_argument(
+        "--ae", default=None,
+        help="--model latent: pre-trained autoencoder checkpoint (default: "
+        "train one first and save ae_model.npz in --out-dir)",
+    )
+    p.add_argument(
+        "--ae-epochs", type=int, default=200,
+        help="--model latent: autoencoder training epochs (when no --ae)",
+    )
+    p.add_argument(
+        "--latent-ch", type=int, default=4,
+        help="--model latent: latent channels of a newly trained autoencoder",
     )
     p.add_argument("--cifar", default=None, help="CIFAR-10 batches dir (stretch config)")
     p.add_argument("--grayscale", action="store_true", help="convert CIFAR to 1 channel")
@@ -216,6 +229,41 @@ def main(argv=None) -> int:
         for i, l in enumerate(losses):
             metrics.log(i + 1, loss=l)
         print(f"saved {out_path}")
+    elif args.model == "latent":
+        from igdm_tpu.config import DiffusionConfig, TrainConfig
+        from igdm_tpu.training.latent import train_autoencoder, train_latent_ddpm
+
+        imgs_pm1 = normalize_pm1(imgs)
+        ae_path = args.ae
+        if not ae_path:
+            ae_path = os.path.join(args.out_dir, "ae_model.npz")
+            train_autoencoder(
+                imgs_pm1, epochs=args.ae_epochs,
+                batch_size=args.batch_size or 64, latent_ch=args.latent_ch,
+                seed=args.seed, out_path=ae_path, log=print,
+            )
+        diff_cfg = DiffusionConfig(
+            num_steps=args.timesteps or 500, schedule=args.schedule
+        )
+        train_cfg = TrainConfig(
+            batch_size=args.batch_size or 64,
+            epochs=args.epochs,
+            lr=args.lr or 2e-4,
+            patience=args.patience if args.patience is not None else 10,
+            min_delta=args.min_delta,
+            seed=args.seed,
+            ema_decay=args.ema_decay,
+            epochs_per_dispatch=args.epochs_per_dispatch,
+            compute_dtype=args.compute_dtype,
+            checkpoint_every=0,
+        )
+        res, _ = train_latent_ddpm(
+            imgs_pm1, ae_path, diff_cfg, train_cfg,
+            base_ch=args.base_ch or 64, out_dir=args.out_dir, log=print,
+        )
+        for i, l in enumerate(res.losses):
+            metrics.log(i + 1, loss=l)
+        losses = res.losses
     elif args.model == "conditional":
         from igdm_tpu.config import DiffusionConfig, TrainConfig
         from igdm_tpu.data.labels import kmeans_labels

@@ -105,13 +105,18 @@ def ddpm_posterior_step(x_t, eps_pred, noise, beta_t, alpha_bar_t, alpha_bar_pre
     return mean + jnp.sqrt(jnp.maximum(var, 0.0)) * noise
 
 
-def ddim_step(x_t, eps_pred, alpha_bar_t, alpha_bar_prev, *, eta: float = 0.0, noise=None):
+def ddim_step(x_t, eps_pred, alpha_bar_t, alpha_bar_prev, *, eta: float = 0.0, noise=None,
+              clip_x0: bool = True):
     """Deterministic (eta=0) or stochastic DDIM update — the fast sampler the
-    reference lacks; standard DDIM algebra (Song et al. 2020)."""
+    reference lacks; standard DDIM algebra (Song et al. 2020).
+
+    clip_x0=False disables the [-1,1] x0 clamp — required when sampling in
+    a latent space whose values are not pixel-ranged (sampling/latent.py)."""
     sqrt_ab_t = jnp.sqrt(alpha_bar_t)
     sqrt_1m_ab_t = jnp.sqrt(1.0 - alpha_bar_t)
     pred_x0 = (x_t - sqrt_1m_ab_t * eps_pred) / sqrt_ab_t
-    pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+    if clip_x0:
+        pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
     sigma = eta * jnp.sqrt(
         (1.0 - alpha_bar_prev) / (1.0 - alpha_bar_t)
     ) * jnp.sqrt(1.0 - alpha_bar_t / alpha_bar_prev)

@@ -1,0 +1,106 @@
+"""Convolutional VAE for latent diffusion.
+
+The reference has no autoencoder and no latent-space anything (its three
+model generations are pixel-space, SURVEY.md section 2); this module is
+the compression half of a latent-diffusion pipeline (Rombach et al. 2022):
+a small GroupNorm+SiLU conv encoder maps (H, W, C) images to a spatially
+4x-downsampled latent (H/4, W/4, latent_ch) diagonal Gaussian, and the
+decoder maps latents back. Trained with L2 reconstruction + a small KL
+penalty toward N(0, I) (beta ~ 1e-4: a regularized autoencoder whose
+latents are well-scaled for diffusion rather than a generative VAE — the
+LDM recipe). Diffusion then runs on `z * scale` where scale = 1/std(z)
+(stored in the checkpoint metadata, like LDM's scale_factor).
+
+TPU shape: everything is jit-compiled convs on the MXU; the encoder and
+decoder reuse ops/nn's fused-able GroupNorm+SiLU blocks. Training rides
+the shared scanned-epoch engine (training/latent.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from igdm_tpu.ops.nn import conv2d, group_norm, max_pool_2x2, silu, upsample_bilinear_2x
+
+
+def _glorot(key, shape, fan_in, fan_out):
+    limit = jnp.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, jnp.float32, -limit, limit)
+
+
+def _conv(key, kh, kw, cin, cout):
+    return {
+        "w": _glorot(key, (kh, kw, cin, cout), kh * kw * cin, kh * kw * cout),
+        "b": jnp.zeros((cout,), jnp.float32),
+    }
+
+
+def _gn(c):
+    return {"scale": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def init(key, *, in_channels: int = 1, base_ch: int = 32, latent_ch: int = 4):
+    """Encoder: C -> base -> pool -> 2*base -> pool -> (2*latent_ch head).
+    Decoder mirrors with bilinear upsampling. Spatial compression 4x."""
+    k = lambda i: jax.random.fold_in(key, i)
+    b2 = base_ch * 2
+    return {
+        "enc": {
+            "conv1": _conv(k(1), 3, 3, in_channels, base_ch), "gn1": _gn(base_ch),
+            "conv2": _conv(k(2), 3, 3, base_ch, b2), "gn2": _gn(b2),
+            "conv3": _conv(k(3), 3, 3, b2, b2), "gn3": _gn(b2),
+            "head": _conv(k(4), 1, 1, b2, 2 * latent_ch),
+        },
+        "dec": {
+            "conv1": _conv(k(11), 3, 3, latent_ch, b2), "gn1": _gn(b2),
+            "conv2": _conv(k(12), 3, 3, b2, b2), "gn2": _gn(b2),
+            "conv3": _conv(k(13), 3, 3, b2, base_ch), "gn3": _gn(base_ch),
+            "head": _conv(k(14), 1, 1, base_ch, in_channels),
+        },
+    }
+
+
+def _block(p, cn, gn, x, *, groups=8):
+    h = conv2d(x, p[cn]["w"], p[cn]["b"])
+    return silu(group_norm(h, p[gn]["scale"], p[gn]["bias"], groups=groups))
+
+
+def encode(params, x):
+    """(B, H, W, C) -> (mean, logvar), each (B, H/4, W/4, latent_ch)."""
+    e = params["enc"]
+    h = _block(e, "conv1", "gn1", x)
+    h = max_pool_2x2(h)
+    h = _block(e, "conv2", "gn2", h)
+    h = max_pool_2x2(h)
+    h = _block(e, "conv3", "gn3", h)
+    stats = conv2d(h, e["head"]["w"], e["head"]["b"])
+    mean, logvar = jnp.split(stats, 2, axis=-1)
+    return mean, jnp.clip(logvar, -20.0, 10.0)
+
+
+def decode(params, z):
+    """(B, H/4, W/4, latent_ch) -> (B, H, W, C) reconstruction (linear head;
+    the data is [-1, 1]-ranged but unclamped, matching the samplers)."""
+    d = params["dec"]
+    h = _block(d, "conv1", "gn1", z)
+    h = upsample_bilinear_2x(h)
+    h = _block(d, "conv2", "gn2", h)
+    h = upsample_bilinear_2x(h)
+    h = _block(d, "conv3", "gn3", h)
+    return conv2d(h, d["head"]["w"], d["head"]["b"])
+
+
+def vae_loss(params, x, key, *, kl_weight: float = 1e-4):
+    """L2 reconstruction + beta*KL(q(z|x) || N(0, I)); returns (loss, aux)."""
+    mean, logvar = encode(params, x)
+    eps = jax.random.normal(key, mean.shape, jnp.float32)
+    z = mean + jnp.exp(0.5 * logvar) * eps
+    recon = decode(params, z)
+    rec = jnp.mean(jnp.square(recon - x))
+    kl = 0.5 * jnp.mean(jnp.square(mean) + jnp.exp(logvar) - 1.0 - logvar)
+    return rec + kl_weight * kl, {"rec": rec, "kl": kl}
+
+
+def num_params(params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

@@ -130,6 +130,35 @@ def sample_from_checkpoint(
     channels = int(data_meta.get("channels", 1))
     image_size = tuple(data_meta.get("image_size", (32, 32)))
 
+    if "latent" in meta:  # latent-diffusion checkpoint: sample z, decode
+        import os as _os
+
+        from igdm_tpu.sampling.latent import sample_latent
+        from igdm_tpu.training.latent import load_autoencoder
+
+        lmeta = meta["latent"]
+        ae_path = lmeta["ae_path"]
+        if not _os.path.isabs(ae_path):  # stored relative to the checkpoint
+            cand = _os.path.join(_os.path.dirname(_os.path.abspath(path)), ae_path)
+            ae_path = cand if _os.path.isfile(cand) else ae_path
+        ae_params, _ = load_autoencoder(ae_path)
+        out = sample_latent(
+            params, ae_params, key, cfg=cfg, scale=float(lmeta.get("scale", 1.0)),
+            num_images=num_images, latent_size=image_size, latent_ch=channels,
+            method="ddim" if sampler in ("auto", "ddim") else "ancestral",
+            num_sample_steps=ddim_steps, model_kind=model_kind,
+            model_state=state,
+        )
+        arr = np.clip(np.asarray(out), -1.0, 1.0)
+        pc = int(lmeta.get("pixel_channels", 1))
+        imgs01 = (arr[..., 0] + 1.0) / 2.0 if pc == 1 else (arr + 1.0) / 2.0
+        return imgs01, {
+            "model": f"{model_kind}(latent)",
+            "T": len(np.unique(np.linspace(1, cfg.num_steps, ddim_steps).round()))
+            if sampler in ("auto", "ddim") else cfg.num_steps,
+            "sampler": "latent-ddim" if sampler in ("auto", "ddim") else "latent-ancestral",
+        }
+
     if "distill" in meta:  # progressively-distilled student: its own grid
         from igdm_tpu.sampling.ancestral import sample_distilled
 

@@ -81,12 +81,13 @@ def init_train_state(
     attn_levels: tuple = (),
     model_kind: str = "unet_small",
     base_ch: int = 64,
+    levels: int = 4,
 ):
     kp, kr = jax.random.split(key)
     if model_kind == "unet4":
         params = unet4.init(
             kp, in_channels=channels, base_ch=base_ch, mid_attn=mid_attn,
-            attn_levels=attn_levels,
+            attn_levels=attn_levels, levels=levels,
         )
         model_state = {}
     else:
@@ -203,6 +204,7 @@ def train_ddpm(
     attn_levels: tuple = (),
     model_kind: str = "unet_small",
     base_ch: int = 64,
+    levels: int = 4,
     log: Callable[[str], None] | None = print,
 ) -> TrainResult:
     """Full training loop with early stopping and periodic checkpoints.
@@ -225,6 +227,7 @@ def train_ddpm(
     state, tx = init_train_state(
         key, diff_cfg, train_cfg, channels=imgs.shape[-1], mid_attn=mid_attn,
         attn_levels=attn_levels, model_kind=model_kind, base_ch=base_ch,
+        levels=levels,
     )
     data_meta = {
         "channels": int(imgs.shape[-1]),

@@ -1,0 +1,154 @@
+"""Latent diffusion (Rombach et al. 2022) — diffusion in a learned
+compressed space.
+
+The pipeline: (1) train the conv VAE (models/autoencoder.py) on the
+pixel data; (2) encode the dataset to latent means, rescale to unit
+variance (`scale = 1/std`, the LDM scale_factor); (3) train a standard
+eps-prediction DDPM on the scaled latents with the SAME trainer every
+pixel model uses (training/ddpm.train_ddpm — the latent tensor is just a
+smaller "image": (N, H/4, W/4, latent_ch)); (4) sample latents with a
+clip-free sampler and decode (sampling/latent.py).
+
+Why on TPU: a 4x spatial compression cuts per-denoise-step conv work
+~16x, so the T-step sampling loop — the serving cost — runs at a small
+fraction of the pixel model's time, and the one-shot decoder amortizes
+over the whole batch. The reference has nothing latent-space
+(SURVEY.md section 2); this is a capability addition.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from igdm_tpu.config import DiffusionConfig, TrainConfig
+from igdm_tpu.models import autoencoder
+from igdm_tpu.training.train_state import TrainState
+
+
+def train_autoencoder(
+    imgs: np.ndarray,
+    *,
+    epochs: int = 200,
+    batch_size: int = 64,
+    lr: float = 1e-3,
+    kl_weight: float = 1e-4,
+    base_ch: int = 32,
+    latent_ch: int = 4,
+    seed: int = 0,
+    out_path: str | None = "ae_model.npz",
+    log: Callable[[str], None] | None = print,
+):
+    """Train the VAE on (N, H, W, C) images in [-1, 1]; rides the shared
+    scanned-epoch engine. Returns (params, losses, scale) where scale is
+    the LDM scale_factor 1/std over the dataset's latent means."""
+    from igdm_tpu.checkpoint.pytree_io import save_checkpoint
+    from igdm_tpu.training.engine import build_scanned_epoch, run_epoch_loop
+    from igdm_tpu.training.ddpm import TrainResult
+
+    imgs = jnp.asarray(imgs, jnp.float32)
+    n = imgs.shape[0]
+    key = jax.random.PRNGKey(seed)
+    kp, kr = jax.random.split(key)
+    params = autoencoder.init(
+        kp, in_channels=imgs.shape[-1], base_ch=base_ch, latent_ch=latent_ch
+    )
+    tx = optax.adam(lr)
+    state = TrainState(
+        params=params, model_state={}, opt_state=tx.init(params),
+        step=jnp.asarray(0, jnp.int32), rng=kr,
+    )
+
+    def batch_loss(p, model_state, kb, idx, mask, data):
+        x = jnp.take(data, idx, axis=0)
+        loss, _ = autoencoder.vae_loss(p, x, kb, kl_weight=kl_weight)
+        return loss, model_state
+
+    epoch_fn = build_scanned_epoch(tx, n, batch_size, batch_loss)
+    result = TrainResult(state=state)
+    loop_cfg = TrainConfig(epochs=epochs, patience=10**9, min_delta=0.0)
+    run_epoch_loop(state, (imgs,), epoch_fn, epoch_fn, 1, loop_cfg, result, log=log)
+
+    final = result.state.params
+    mean, _ = jax.jit(autoencoder.encode)(final, imgs)
+    scale = float(1.0 / (jnp.std(mean) + 1e-8))
+    if out_path:
+        save_checkpoint(
+            out_path, result.state,
+            ae={"base_ch": base_ch, "latent_ch": latent_ch,
+                "kl_weight": kl_weight, "scale": scale},
+        )
+        if log:
+            log(f"saved autoencoder to {out_path} (scale={scale:.4f})")
+    return final, result.losses, scale
+
+
+def load_autoencoder(path: str):
+    """(params, meta['ae']) from a train_autoencoder checkpoint."""
+    from igdm_tpu.checkpoint.pytree_io import load_for_sampling
+
+    params, _, meta = load_for_sampling(path)
+    return jax.tree_util.tree_map(jnp.asarray, params), meta.get("ae", {})
+
+
+def train_latent_ddpm(
+    imgs: np.ndarray,
+    ae_path: str,
+    diff_cfg: DiffusionConfig | None = None,
+    train_cfg: TrainConfig | None = None,
+    *,
+    base_ch: int = 64,
+    levels: int = 2,
+    out_dir: str = ".",
+    save_final: str = "latent_model",
+    log: Callable[[str], None] | None = print,
+):
+    """Encode (N, H, W, C) images with the trained VAE and run the standard
+    DDPM trainer on the scaled latents; the final checkpoint carries
+    ``latent`` metadata (ae_path + scale + pixel shape) so
+    sampling.auto dispatches the decode automatically."""
+    from igdm_tpu.checkpoint.pytree_io import save_checkpoint
+    from igdm_tpu.training.ddpm import train_ddpm
+
+    diff_cfg = diff_cfg or DiffusionConfig()
+    train_cfg = train_cfg or TrainConfig()
+    ae_params, ae_meta = load_autoencoder(ae_path)
+    scale = float(ae_meta.get("scale", 1.0))
+
+    imgs = jnp.asarray(imgs, jnp.float32)
+    mean, _ = jax.jit(autoencoder.encode)(ae_params, imgs)
+    latents = np.asarray(mean * scale, np.float32)
+    if log:
+        log(
+            f"latents: {latents.shape}, std={latents.std():.3f} "
+            f"(scale={scale:.4f})"
+        )
+
+    res = train_ddpm(
+        latents, diff_cfg, train_cfg, model_kind="unet4", base_ch=base_ch,
+        levels=levels, out_dir=out_dir, save_final=None, log=log,
+    )
+    path = os.path.join(out_dir, f"{save_final}.npz")
+    save_checkpoint(
+        path, res.state, epoch=res.epochs_run,
+        diff_cfg=diff_cfg, train_cfg=train_cfg, model="unet4",
+        data={
+            "channels": int(latents.shape[-1]),
+            "image_size": [int(latents.shape[1]), int(latents.shape[2])],
+        },
+        latent={
+            "ae_path": str(ae_path),
+            "scale": scale,
+            "pixel_size": [int(imgs.shape[1]), int(imgs.shape[2])],
+            "pixel_channels": int(imgs.shape[-1]),
+        },
+    )
+    res.checkpoints.append(path)
+    if log:
+        log(f"saved latent DDPM to {path}")
+    return res, path
