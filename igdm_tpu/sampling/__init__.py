@@ -11,6 +11,7 @@ from igdm_tpu.sampling.consistency import sample_consistency
 from igdm_tpu.sampling.edit import sample_inpaint
 from igdm_tpu.sampling.flow import sample_flow
 from igdm_tpu.sampling.guided import sample_cfg
+from igdm_tpu.sampling.latent import sample_latent
 from igdm_tpu.sampling.superres import sample_superres
 
 __all__ = [
@@ -22,6 +23,7 @@ __all__ = [
     "sample_dpmpp2m",
     "sample_flow",
     "sample_heun",
+    "sample_latent",
     "sample_inpaint",
     "sample_karras",
     "sample_superres",

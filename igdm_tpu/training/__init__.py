@@ -6,11 +6,12 @@ from igdm_tpu.training import (
     ddpm,
     distill,
     flow,
+    latent,
     mlp_trainer,
     superres,
 )
 
 __all__ = [
     "TrainState", "warmup_cosine_lr", "conditional", "consistency", "ddpm",
-    "distill", "flow", "mlp_trainer", "superres",
+    "distill", "flow", "latent", "mlp_trainer", "superres",
 ]
