@@ -171,6 +171,54 @@ def bench_distilled(path: str, batch: int = 256, R: int = 20):
     return batch / per_traj, len(grid) - 1
 
 
+def bench_latent(path: str, batch: int = 256, R: int = 20):
+    """Latent-diffusion serving throughput: full T=500 ancestral trajectory
+    in the 8x8x4 latent space + VAE decode (BASELINE.md round-4 latent
+    section). Same in-program-repeat harness as bench_distilled."""
+    from igdm_tpu.checkpoint.pytree_io import load_for_sampling
+    from igdm_tpu.config import DiffusionConfig, config_from_dict
+    from igdm_tpu.sampling.latent import sample_latent
+    from igdm_tpu.training.latent import load_autoencoder
+
+    params, state, meta = load_for_sampling(path, prefer_ema=True)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    lmeta = meta["latent"]
+    ae_path = lmeta["ae_path"]
+    if not os.path.isabs(ae_path):
+        cand = os.path.join(os.path.dirname(os.path.abspath(path)), ae_path)
+        ae_path = cand if os.path.isfile(cand) else ae_path
+    ae_params, _ = load_autoencoder(ae_path)
+    cfg = config_from_dict(DiffusionConfig, meta.get("diff_cfg", {}))
+    dm = meta.get("data", {})
+    latent_size = tuple(dm.get("image_size", (8, 8)))
+    latent_ch = int(dm.get("channels", 4))
+    scale = float(lmeta.get("scale", 1.0))
+
+    def fn(key):
+        return sample_latent(
+            params, ae_params, key, cfg=cfg, scale=scale, num_images=batch,
+            latent_size=latent_size, latent_ch=latent_ch, method="ancestral",
+            model_state=state,
+        )
+
+    @jax.jit
+    def multi(key):
+        def body(acc, i):
+            return acc + jnp.mean(fn(jax.random.fold_in(key, i))), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(R))
+        return acc
+
+    key = jax.random.PRNGKey(0)
+    _sync(multi(key))
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _sync(multi(jax.random.fold_in(key, 100 + i)))
+        times.append(time.perf_counter() - t0)
+    return batch / (min(times) / R)
+
+
 def bench_reflow(path: str, batch: int = 256, R: int = 100, steps: int = 1):
     """Reflowed rectified-flow serving throughput (1 model call/traj —
     BASELINE.md reflow table). Same in-program-repeat harness as
@@ -322,6 +370,14 @@ def main():
             record["reflow1_samples_per_sec"] = round(bench_reflow(reflow_ckpt), 1)
         except Exception as e:
             print(f"[bench] reflow bench skipped: {e}", file=sys.stderr)
+    latent_ckpt = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts", "latent_model.npz"
+    )
+    if os.path.exists(latent_ckpt):  # full-T latent-space operating point
+        try:
+            record["latent_t500_samples_per_sec"] = round(bench_latent(latent_ckpt), 1)
+        except Exception as e:
+            print(f"[bench] latent bench skipped: {e}", file=sys.stderr)
     cd_ckpt = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "artifacts", "consistency_model.npz"
     )
