@@ -40,25 +40,33 @@ def _gn(c):
     return {"scale": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)}
 
 
-def init(key, *, in_channels: int = 1, base_ch: int = 32, latent_ch: int = 4):
-    """Encoder: C -> base -> pool -> 2*base -> pool -> (2*latent_ch head).
-    Decoder mirrors with bilinear upsampling. Spatial compression 4x."""
+def init(key, *, in_channels: int = 1, base_ch: int = 32, latent_ch: int = 4,
+         depth: int = 2):
+    """Encoder: C -> base -> [pool -> wider conv] x depth -> 2*latent_ch head.
+    Decoder mirrors with bilinear upsampling. Spatial compression 2**depth
+    (depth=2 is the LDM-style 4x; depth=1 trades compute for fidelity —
+    measured in the BASELINE.md latent sweep)."""
     k = lambda i: jax.random.fold_in(key, i)
     b2 = base_ch * 2
-    return {
-        "enc": {
-            "conv1": _conv(k(1), 3, 3, in_channels, base_ch), "gn1": _gn(base_ch),
-            "conv2": _conv(k(2), 3, 3, base_ch, b2), "gn2": _gn(b2),
-            "conv3": _conv(k(3), 3, 3, b2, b2), "gn3": _gn(b2),
-            "head": _conv(k(4), 1, 1, b2, 2 * latent_ch),
-        },
-        "dec": {
-            "conv1": _conv(k(11), 3, 3, latent_ch, b2), "gn1": _gn(b2),
-            "conv2": _conv(k(12), 3, 3, b2, b2), "gn2": _gn(b2),
-            "conv3": _conv(k(13), 3, 3, b2, base_ch), "gn3": _gn(base_ch),
-            "head": _conv(k(14), 1, 1, base_ch, in_channels),
-        },
-    }
+    enc = {"conv1": _conv(k(1), 3, 3, in_channels, base_ch), "gn1": _gn(base_ch)}
+    c = base_ch
+    for d in range(depth):
+        enc[f"down{d + 1}"] = _conv(k(2 + d), 3, 3, c, b2)
+        enc[f"dgn{d + 1}"] = _gn(b2)
+        c = b2
+    enc["mid"] = _conv(k(8), 3, 3, c, b2)
+    enc["mgn"] = _gn(b2)
+    enc["head"] = _conv(k(9), 1, 1, b2, 2 * latent_ch)
+
+    dec = {"conv1": _conv(k(11), 3, 3, latent_ch, b2), "gn1": _gn(b2)}
+    c = b2
+    for d in range(depth):
+        cout = b2 if d < depth - 1 else base_ch
+        dec[f"up{d + 1}"] = _conv(k(12 + d), 3, 3, c, cout)
+        dec[f"ugn{d + 1}"] = _gn(cout)
+        c = cout
+    dec["head"] = _conv(k(18), 1, 1, c, in_channels)
+    return {"enc": enc, "dec": dec}
 
 
 def _block(p, cn, gn, x, *, groups=8):
@@ -66,28 +74,31 @@ def _block(p, cn, gn, x, *, groups=8):
     return silu(group_norm(h, p[gn]["scale"], p[gn]["bias"], groups=groups))
 
 
+def _depth(half: dict, prefix: str) -> int:
+    return sum(1 for k in half if k.startswith(prefix) and k[len(prefix):].isdigit())
+
+
 def encode(params, x):
-    """(B, H, W, C) -> (mean, logvar), each (B, H/4, W/4, latent_ch)."""
+    """(B, H, W, C) -> (mean, logvar), each (B, H/2^d, W/2^d, latent_ch)."""
     e = params["enc"]
     h = _block(e, "conv1", "gn1", x)
-    h = max_pool_2x2(h)
-    h = _block(e, "conv2", "gn2", h)
-    h = max_pool_2x2(h)
-    h = _block(e, "conv3", "gn3", h)
+    for d in range(_depth(e, "down")):
+        h = max_pool_2x2(h)
+        h = _block(e, f"down{d + 1}", f"dgn{d + 1}", h)
+    h = _block(e, "mid", "mgn", h)
     stats = conv2d(h, e["head"]["w"], e["head"]["b"])
     mean, logvar = jnp.split(stats, 2, axis=-1)
     return mean, jnp.clip(logvar, -20.0, 10.0)
 
 
 def decode(params, z):
-    """(B, H/4, W/4, latent_ch) -> (B, H, W, C) reconstruction (linear head;
-    the data is [-1, 1]-ranged but unclamped, matching the samplers)."""
+    """(B, H/2^d, W/2^d, latent_ch) -> (B, H, W, C) reconstruction (linear
+    head; the data is [-1, 1]-ranged but unclamped, matching the samplers)."""
     d = params["dec"]
     h = _block(d, "conv1", "gn1", z)
-    h = upsample_bilinear_2x(h)
-    h = _block(d, "conv2", "gn2", h)
-    h = upsample_bilinear_2x(h)
-    h = _block(d, "conv3", "gn3", h)
+    for i in range(_depth(d, "up")):
+        h = upsample_bilinear_2x(h)
+        h = _block(d, f"up{i + 1}", f"ugn{i + 1}", h)
     return conv2d(h, d["head"]["w"], d["head"]["b"])
 
 

@@ -40,6 +40,7 @@ def train_autoencoder(
     kl_weight: float = 1e-4,
     base_ch: int = 32,
     latent_ch: int = 4,
+    depth: int = 2,
     seed: int = 0,
     out_path: str | None = "ae_model.npz",
     log: Callable[[str], None] | None = print,
@@ -56,7 +57,8 @@ def train_autoencoder(
     key = jax.random.PRNGKey(seed)
     kp, kr = jax.random.split(key)
     params = autoencoder.init(
-        kp, in_channels=imgs.shape[-1], base_ch=base_ch, latent_ch=latent_ch
+        kp, in_channels=imgs.shape[-1], base_ch=base_ch, latent_ch=latent_ch,
+        depth=depth,
     )
     tx = optax.adam(lr)
     state = TrainState(
@@ -80,7 +82,7 @@ def train_autoencoder(
     if out_path:
         save_checkpoint(
             out_path, result.state,
-            ae={"base_ch": base_ch, "latent_ch": latent_ch,
+            ae={"base_ch": base_ch, "latent_ch": latent_ch, "depth": depth,
                 "kl_weight": kl_weight, "scale": scale},
         )
         if log:
@@ -104,6 +106,7 @@ def train_latent_ddpm(
     *,
     base_ch: int = 64,
     levels: int = 2,
+    sample_posterior: bool = False,
     out_dir: str = ".",
     save_final: str = "latent_model",
     log: Callable[[str], None] | None = print,
@@ -121,7 +124,12 @@ def train_latent_ddpm(
     scale = float(ae_meta.get("scale", 1.0))
 
     imgs = jnp.asarray(imgs, jnp.float32)
-    mean, _ = jax.jit(autoencoder.encode)(ae_params, imgs)
+    mean, logvar = jax.jit(autoencoder.encode)(ae_params, imgs)
+    if sample_posterior:
+        # one posterior draw per image: light noise augmentation in latent
+        # space (between deterministic means and LDM's fresh-z-per-step)
+        eps = jax.random.normal(jax.random.PRNGKey(0), mean.shape, jnp.float32)
+        mean = mean + jnp.exp(0.5 * logvar) * eps
     latents = np.asarray(mean * scale, np.float32)
     if log:
         log(
