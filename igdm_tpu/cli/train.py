@@ -87,6 +87,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--latent-ch", type=int, default=4,
         help="--model latent: latent channels of a newly trained autoencoder",
     )
+    p.add_argument(
+        "--kl-weight", type=float, default=1e-2,
+        help="--model latent: VAE KL weight — the coverage lever (the "
+        "BASELINE.md latent sweep measured 1e-4 -> near-memorization, "
+        "1e-2 -> balanced, on the 500-image set)",
+    )
     p.add_argument("--cifar", default=None, help="CIFAR-10 batches dir (stretch config)")
     p.add_argument("--grayscale", action="store_true", help="convert CIFAR to 1 channel")
     p.add_argument(
@@ -240,6 +246,7 @@ def main(argv=None) -> int:
             train_autoencoder(
                 imgs_pm1, epochs=args.ae_epochs,
                 batch_size=args.batch_size or 64, latent_ch=args.latent_ch,
+                kl_weight=args.kl_weight,
                 seed=args.seed, out_path=ae_path, log=print,
             )
         diff_cfg = DiffusionConfig(
