@@ -126,6 +126,8 @@ def _main(argv=None) -> int:
     p.add_argument("--ema", action="store_true")
     args = p.parse_args(argv)
 
+    import jax as _jax
+
     from igdm_tpu.data.mat import load_synthetic_images
     from igdm_tpu.sampling.auto import sample_from_checkpoint
 
@@ -138,6 +140,20 @@ def _main(argv=None) -> int:
             ddim_steps=args.ddim_steps, prefer_ema=args.ema,
         )
         return imgs01
+
+    # 64x64 checkpoints are scored against the 2x-upscaled dataset (the
+    # stretch-config protocol, BASELINE.md)
+    probe = sample_fn(_jax.random.PRNGKey(0), 1)
+    if probe.shape[1] != d01.shape[1]:
+        from igdm_tpu.data.cifar import upscale_2x
+
+        while d01.shape[1] < probe.shape[1]:
+            d01 = upscale_2x(d01[..., None])[..., 0]
+        if d01.shape[1] != probe.shape[1]:
+            raise SystemExit(
+                f"checkpoint samples {probe.shape[1]}x{probe.shape[2]} images; "
+                f"pass --data with a matching dataset"
+            )
 
     rep = evaluate_sampler(
         sample_fn, d01, n_samples=args.n_samples, seeds=tuple(args.seeds),

@@ -94,3 +94,28 @@ def test_quality_cli_on_checkpoint(tmp_path, monkeypatch, capsys):
     rep = json.loads(capsys.readouterr().out)
     assert rep["n_samples"] == 8 and len(rep["per_seed"]) == 2
     assert "mean" in rep["nn_mse"] and "std" in rep["nn_mse"]
+
+
+def test_quality_cli_upscales_reference_for_64px_checkpoints(tmp_path, capsys):
+    """A 64x64 checkpoint scores against the 2x-upscaled dataset (the
+    stretch protocol) instead of crashing on a shape mismatch."""
+    import json
+
+    from igdm_tpu.config import DiffusionConfig, TrainConfig
+    from igdm_tpu.training.ddpm import train_ddpm
+    from igdm_tpu.utils.quality import _main
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(-1, 1, (32, 64, 64, 1)).astype(np.float32)
+    train_ddpm(
+        imgs, DiffusionConfig(num_steps=5),
+        TrainConfig(batch_size=16, epochs=1, patience=50, checkpoint_every=0),
+        out_dir=str(tmp_path), model_kind="unet4", base_ch=8, log=None,
+    )
+    rc = _main([
+        str(tmp_path / "trained_model.npz"),
+        "--n-samples", "4", "--seeds", "0", "--batch", "4", "--ddim-steps", "2",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["n_samples"] == 4 and np.isfinite(rep["nn_mse"]["mean"])
