@@ -182,12 +182,10 @@ def bench_latent(path: str, batch: int = 256, R: int = 20):
 
     params, state, meta = load_for_sampling(path, prefer_ema=True)
     params = jax.tree_util.tree_map(jnp.asarray, params)
+    from igdm_tpu.training.latent import resolve_ae_path
+
     lmeta = meta["latent"]
-    ae_path = lmeta["ae_path"]
-    if not os.path.isabs(ae_path):
-        cand = os.path.join(os.path.dirname(os.path.abspath(path)), ae_path)
-        ae_path = cand if os.path.isfile(cand) else ae_path
-    ae_params, _ = load_autoencoder(ae_path)
+    ae_params, _ = load_autoencoder(resolve_ae_path(path, lmeta))
     cfg = config_from_dict(DiffusionConfig, meta.get("diff_cfg", {}))
     dm = meta.get("data", {})
     latent_size = tuple(dm.get("image_size", (8, 8)))

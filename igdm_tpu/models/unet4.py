@@ -117,6 +117,12 @@ def init(
             "table": jnp.zeros((num_classes + 1, time_dim), jnp.float32)
         }
     attn_levels = tuple(int(l) for l in attn_levels)
+    bad = [l for l in attn_levels if l < 1 or l > levels]
+    if bad:
+        raise ValueError(
+            f"attn_levels {bad} outside the down-path range 1..{levels} — "
+            "a silent no-op here would train without attention"
+        )
     if attn_levels:
         from igdm_tpu.ops.attention import init_attention
     cin = in_channels
@@ -249,7 +255,12 @@ def apply(
         if "attn" in params[name]:
             from igdm_tpu.ops.attention import spatial_self_attention
 
-            h = spatial_self_attention(params[name]["attn"], h)
+            # head_dim pinned to 64 (ADM convention): full-lane MXU tiles in
+            # the flash kernel at any level width (heads=4 would give hd=16
+            # at C=64 — 12.5% lane utilization)
+            h = spatial_self_attention(
+                params[name]["attn"], h, heads=max(1, h.shape[-1] // 64)
+            )
         skips.append(h)
         h = max_pool_2x2(h)
 
@@ -269,7 +280,9 @@ def apply(
         if "attn" in params[name]:
             from igdm_tpu.ops.attention import spatial_self_attention
 
-            h = spatial_self_attention(params[name]["attn"], h)
+            h = spatial_self_attention(
+                params[name]["attn"], h, heads=max(1, h.shape[-1] // 64)
+            )
 
     out = conv2d(h, params["final"]["w"])
     return jax.nn.sigmoid(out) if final_sigmoid else out

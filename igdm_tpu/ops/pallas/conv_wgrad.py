@@ -108,16 +108,17 @@ def _wgrad_kernel_w3(x_ref, dyp_ref, out_ref, acc_ref, *, bb, H, W, Ci, Co):
         out_ref[:] = acc_ref[:]
 
 
-def _pick_batch_block(B: int, H: int, W: int, Ci: int, Co: int, split: bool) -> int:
+def _pick_batch_block(B: int, H: int, W: int, Ci: int, Co: int, split: bool,
+                      itemsize: int = 2) -> int:
     """Largest power-of-two batch block keeping the VMEM working set
     (x + padded dy [+ 9-column patch tensor] + f32 accumulator, double
     buffered inputs) comfortably under ~8 MB."""
     for bb in (16, 8, 4, 2, 1):
         if B % bb:
             continue
-        bytes_x = bb * H * W * Ci * 2
-        bytes_dyp = bb * (H + 2) * (W + 2) * Co * 2
-        bytes_patch = 0 if split else bb * H * W * 9 * Co * 2
+        bytes_x = bb * H * W * Ci * itemsize
+        bytes_dyp = bb * (H + 2) * (W + 2) * Co * itemsize
+        bytes_patch = 0 if split else bb * H * W * 9 * Co * itemsize
         if 2 * (bytes_x + bytes_dyp) + bytes_patch + Ci * 9 * Co * 4 < 8 * 2**20:
             return bb
     return 1
@@ -137,7 +138,8 @@ def conv3x3_wgrad(x, dy, *, interpret: bool = False, mode: str = "concat"):
     B, H, W, Ci = x.shape
     Co = dy.shape[-1]
     assert dy.shape == (B, H, W, Co)
-    bb = _pick_batch_block(B, H, W, Ci, Co, mode != "concat")
+    bb = _pick_batch_block(B, H, W, Ci, Co, mode != "concat",
+                           itemsize=jnp.dtype(x.dtype).itemsize)
     dyp = jnp.pad(dy, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
     kern, out_shape = {

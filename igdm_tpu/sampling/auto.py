@@ -12,6 +12,11 @@ import numpy as np
 
 from igdm_tpu.config import DiffusionConfig, config_from_dict
 
+# single-slot checkpoint cache keyed (abspath, mtime, prefer_ema): repeated
+# sampling from one checkpoint (the igdm-quality protocol draws many chunks)
+# must not re-read + re-upload the file per chunk (round-4 review finding)
+_LOAD_CACHE: dict = {}
+
 
 def sample_from_checkpoint(
     path: str,
@@ -57,11 +62,20 @@ def sample_from_checkpoint(
         imgs01 = (np.asarray(out)[..., 0] + 1.0) / 2.0
         return imgs01, {"model": "unet_small(bson)", "T": cfg.num_steps, "sampler": "ancestral"}
 
+    import os as _os
+
     from igdm_tpu.checkpoint.pytree_io import load_for_sampling
 
-    params, state, meta = load_for_sampling(str(path), prefer_ema=prefer_ema)
-    params = jax.tree_util.tree_map(jnp.asarray, params)
-    state = jax.tree_util.tree_map(jnp.asarray, state)
+    _ap = _os.path.abspath(str(path))
+    _ck = (_ap, _os.path.getmtime(_ap), prefer_ema)
+    if _LOAD_CACHE.get("key") == _ck:
+        params, state, meta = _LOAD_CACHE["value"]
+    else:
+        params, state, meta = load_for_sampling(str(path), prefer_ema=prefer_ema)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        state = jax.tree_util.tree_map(jnp.asarray, state)
+        _LOAD_CACHE["key"] = _ck
+        _LOAD_CACHE["value"] = (params, state, meta)
     model_kind = meta.get("model", "unet_small")
 
     if "modern_cfg" in meta:  # gen-3 recipe: sample with its training schedule
@@ -131,17 +145,16 @@ def sample_from_checkpoint(
     image_size = tuple(data_meta.get("image_size", (32, 32)))
 
     if "latent" in meta:  # latent-diffusion checkpoint: sample z, decode
-        import os as _os
-
         from igdm_tpu.sampling.latent import sample_latent
-        from igdm_tpu.training.latent import load_autoencoder
+        from igdm_tpu.training.latent import load_autoencoder, resolve_ae_path
 
         lmeta = meta["latent"]
-        ae_path = lmeta["ae_path"]
-        if not _os.path.isabs(ae_path):  # stored relative to the checkpoint
-            cand = _os.path.join(_os.path.dirname(_os.path.abspath(path)), ae_path)
-            ae_path = cand if _os.path.isfile(cand) else ae_path
-        ae_params, _ = load_autoencoder(ae_path)
+        ae_params, _ = load_autoencoder(resolve_ae_path(path, lmeta))
+        if sampler not in ("auto", "ddim", "ancestral", "textbook"):
+            raise ValueError(
+                f"sampler {sampler!r} is not implemented for latent checkpoints "
+                "(supported: ddim [default], ancestral/textbook)"
+            )
         out = sample_latent(
             params, ae_params, key, cfg=cfg, scale=float(lmeta.get("scale", 1.0)),
             num_images=num_images, latent_size=image_size, latent_ch=channels,

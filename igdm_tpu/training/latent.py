@@ -90,6 +90,24 @@ def train_autoencoder(
     return final, result.losses, scale
 
 
+def resolve_ae_path(ckpt_path: str, latent_meta: dict) -> str:
+    """Resolve a latent checkpoint's autoencoder path: try the stored path
+    (absolute or CWD-relative), then the same directory as the checkpoint —
+    the committed-artifact layout, which keeps checkpoints portable across
+    checkouts."""
+    ae_path = str(latent_meta["ae_path"])
+    if os.path.isfile(ae_path):
+        return ae_path
+    cand = os.path.join(
+        os.path.dirname(os.path.abspath(ckpt_path)), os.path.basename(ae_path)
+    )
+    if os.path.isfile(cand):
+        return cand
+    raise FileNotFoundError(
+        f"autoencoder checkpoint {ae_path!r} not found (also tried {cand!r})"
+    )
+
+
 def load_autoencoder(path: str):
     """(params, meta['ae']) from a train_autoencoder checkpoint."""
     from igdm_tpu.checkpoint.pytree_io import load_for_sampling
@@ -137,6 +155,12 @@ def train_latent_ddpm(
             f"(scale={scale:.4f})"
         )
 
+    # periodic checkpoints from the inner trainer would lack the ``latent``
+    # metadata and be mis-dispatched as pixel models — only the final,
+    # fully-annotated checkpoint below is written
+    import dataclasses
+
+    train_cfg = dataclasses.replace(train_cfg, checkpoint_every=0)
     res = train_ddpm(
         latents, diff_cfg, train_cfg, model_kind="unet4", base_ch=base_ch,
         levels=levels, out_dir=out_dir, save_final=None, log=log,
@@ -150,7 +174,9 @@ def train_latent_ddpm(
             "image_size": [int(latents.shape[1]), int(latents.shape[2])],
         },
         latent={
-            "ae_path": str(ae_path),
+            # basename keeps the pair portable: the loader looks next to the
+            # checkpoint when the recorded path is missing (resolve_ae_path)
+            "ae_path": os.path.basename(str(ae_path)),
             "scale": scale,
             "pixel_size": [int(imgs.shape[1]), int(imgs.shape[2])],
             "pixel_channels": int(imgs.shape[-1]),

@@ -128,3 +128,54 @@ def test_cli_train_latent(tmp_path, monkeypatch):
     ])
     assert rc == 0
     assert (tmp_path / "lat.png").is_file()
+
+
+def test_latent_checkpoint_portable_across_directories(tiny_imgs, tmp_path):
+    """The ae_path rides as a basename and resolves NEXT TO the checkpoint,
+    so a moved/cloned artifacts directory still samples (round-4 review)."""
+    import shutil
+
+    from igdm_tpu.sampling.auto import sample_from_checkpoint
+    from igdm_tpu.training.latent import train_autoencoder, train_latent_ddpm
+
+    a = tmp_path / "a"
+    a.mkdir()
+    train_autoencoder(tiny_imgs, epochs=3, batch_size=8, base_ch=8, latent_ch=4,
+                      out_path=str(a / "ae.npz"), log=None)
+    _, ckpt = train_latent_ddpm(
+        tiny_imgs, str(a / "ae.npz"), DiffusionConfig(num_steps=4),
+        TrainConfig(batch_size=8, epochs=1, patience=50, checkpoint_every=0),
+        base_ch=8, levels=2, out_dir=str(a), log=None,
+    )
+    b = tmp_path / "b"
+    b.mkdir()
+    shutil.move(ckpt, b / "latent_model.npz")
+    shutil.move(str(a / "ae.npz"), b / "ae.npz")
+    imgs01, info = sample_from_checkpoint(
+        str(b / "latent_model.npz"), jax.random.PRNGKey(0), num_images=2,
+        ddim_steps=2,
+    )
+    assert info["sampler"] == "latent-ddim" and imgs01.shape == (2, 16, 16)
+
+
+def test_latent_rejects_unsupported_samplers(tiny_imgs, tmp_path):
+    from igdm_tpu.sampling.auto import sample_from_checkpoint
+    from igdm_tpu.training.latent import train_autoencoder, train_latent_ddpm
+
+    train_autoencoder(tiny_imgs, epochs=2, batch_size=8, base_ch=8, latent_ch=4,
+                      out_path=str(tmp_path / "ae.npz"), log=None)
+    _, ckpt = train_latent_ddpm(
+        tiny_imgs, str(tmp_path / "ae.npz"), DiffusionConfig(num_steps=4),
+        TrainConfig(batch_size=8, epochs=1, patience=50, checkpoint_every=0),
+        base_ch=8, levels=2, out_dir=str(tmp_path), log=None,
+    )
+    with pytest.raises(ValueError, match="latent"):
+        sample_from_checkpoint(ckpt, jax.random.PRNGKey(0), num_images=2,
+                               sampler="dpmpp")
+
+
+def test_unet4_attn_levels_out_of_range_raises():
+    from igdm_tpu.models import unet4
+
+    with pytest.raises(ValueError, match="attn_levels"):
+        unet4.init(jax.random.PRNGKey(0), base_ch=8, attn_levels=(5,))
