@@ -103,8 +103,12 @@ def resolve_ae_path(ckpt_path: str, latent_meta: dict) -> str:
     )
     if os.path.isfile(cand):
         return cand
+    ae_abs = str(latent_meta.get("ae_path_abs", ""))
+    if ae_abs and os.path.isfile(ae_abs):
+        return ae_abs
     raise FileNotFoundError(
-        f"autoencoder checkpoint {ae_path!r} not found (also tried {cand!r})"
+        f"autoencoder checkpoint {ae_path!r} not found (also tried {cand!r}"
+        + (f" and {ae_abs!r}" if ae_abs else "") + ")"
     )
 
 
@@ -177,6 +181,7 @@ def train_latent_ddpm(
             # basename keeps the pair portable: the loader looks next to the
             # checkpoint when the recorded path is missing (resolve_ae_path)
             "ae_path": os.path.basename(str(ae_path)),
+            "ae_path_abs": os.path.abspath(str(ae_path)),
             "scale": scale,
             "pixel_size": [int(imgs.shape[1]), int(imgs.shape[2])],
             "pixel_channels": int(imgs.shape[-1]),
