@@ -145,11 +145,35 @@ def sample_from_checkpoint(
     image_size = tuple(data_meta.get("image_size", (32, 32)))
 
     if "latent" in meta:  # latent-diffusion checkpoint: sample z, decode
+        from igdm_tpu.models import autoencoder
         from igdm_tpu.sampling.latent import sample_latent
         from igdm_tpu.training.latent import load_autoencoder, resolve_ae_path
 
         lmeta = meta["latent"]
         ae_params, _ = load_autoencoder(resolve_ae_path(path, lmeta))
+
+        if "consistency" in meta:  # latent consistency model: 1-call + decode
+            from igdm_tpu.sampling.consistency import sample_consistency
+
+            cmeta = meta["consistency"]
+            n_calls = int(steps) if steps is not None else int(cmeta.get("default_steps", 1))
+            z = sample_consistency(
+                params, cmeta["grid"], key, num_images=num_images,
+                steps=n_calls, cfg=cfg, channels=channels,
+                image_size=image_size, model_kind=model_kind,
+                model_state=state, sigma_data=float(cmeta.get("sigma_data", 0.5)),
+            )
+            out = jax.jit(autoencoder.decode)(
+                ae_params, z / float(lmeta.get("scale", 1.0))
+            )
+            arr = np.clip(np.asarray(out), -1.0, 1.0)
+            pc = int(lmeta.get("pixel_channels", 1))
+            imgs01 = (arr[..., 0] + 1.0) / 2.0 if pc == 1 else (arr + 1.0) / 2.0
+            return imgs01, {
+                "model": f"{model_kind}(latent-cd)", "T": n_calls,
+                "sampler": "latent-consistency",
+            }
+
         if sampler not in ("auto", "ddim", "ancestral", "textbook"):
             raise ValueError(
                 f"sampler {sampler!r} is not implemented for latent checkpoints "

@@ -223,7 +223,13 @@ def consistency_distill_checkpoint(
     checkpoint whose ``consistency`` metadata dispatches the 1-call sampler
     through :func:`igdm_tpu.sampling.auto.sample_from_checkpoint` (the same
     metadata-driven contract as the distill/flow/conditional families —
-    config rides the checkpoint, SURVEY.md section 5.6)."""
+    config rides the checkpoint, SURVEY.md section 5.6).
+
+    **Latent teachers compose (LCM — latent consistency model):** when the
+    teacher carries ``latent`` metadata, ``imgs`` are pixel images that get
+    encoded to scaled latents with the teacher's VAE first, distillation
+    runs in latent space, and the student checkpoint keeps the ``latent``
+    metadata — the dispatcher then samples ONE student call + decode."""
     from igdm_tpu.checkpoint.pytree_io import load_for_sampling, save_checkpoint
     from igdm_tpu.training.train_state import TrainState
 
@@ -234,6 +240,17 @@ def consistency_distill_checkpoint(
     diff_cfg = config_from_dict(DiffusionConfig, meta.get("diff_cfg", {}))
     model_kind = meta.get("model", "unet4")
     objective = (meta.get("train_cfg") or {}).get("objective", "eps")
+
+    latent_meta = meta.get("latent")
+    if latent_meta is not None:
+        from igdm_tpu.models import autoencoder
+        from igdm_tpu.training.latent import load_autoencoder, resolve_ae_path
+
+        ae_params, _ = load_autoencoder(resolve_ae_path(teacher_ckpt, latent_meta))
+        mean, _ = jax.jit(autoencoder.encode)(ae_params, jnp.asarray(imgs, jnp.float32))
+        imgs = mean * float(latent_meta.get("scale", 1.0))
+        if log:
+            log(f"[consistency] latent teacher: distilling in {tuple(imgs.shape[1:])} latent space")
 
     student, grid, losses = consistency_distill(
         params, imgs, diff_cfg=diff_cfg, objective=objective, n_grid=n_grid,
@@ -246,6 +263,7 @@ def consistency_distill_checkpoint(
         step=jnp.asarray(len(losses), jnp.int32), rng=jax.random.PRNGKey(seed),
         ema_params=None,
     )
+    extra = {"latent": latent_meta} if latent_meta is not None else {}
     save_checkpoint(
         out_path, save_state, diff_cfg=diff_cfg, model=model_kind,
         data=meta.get("data", {}),
@@ -255,5 +273,6 @@ def consistency_distill_checkpoint(
             "default_steps": 1,
         },
         losses=losses,
+        **extra,
     )
     return out_path, student, grid, losses

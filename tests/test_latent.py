@@ -179,3 +179,37 @@ def test_unet4_attn_levels_out_of_range_raises():
 
     with pytest.raises(ValueError, match="attn_levels"):
         unet4.init(jax.random.PRNGKey(0), base_ch=8, attn_levels=(5,))
+
+
+def test_latent_consistency_model_end_to_end(tiny_imgs, tmp_path):
+    """LCM composition: consistency-distill a LATENT teacher — pixels get
+    encoded with the teacher's VAE, distillation runs in latent space, and
+    the student samples in ONE model call + decode through the dispatcher."""
+    from igdm_tpu.sampling.auto import sample_from_checkpoint
+    from igdm_tpu.training.consistency import consistency_distill_checkpoint
+    from igdm_tpu.training.latent import train_autoencoder, train_latent_ddpm
+
+    train_autoencoder(tiny_imgs, epochs=3, batch_size=8, base_ch=8, latent_ch=4,
+                      out_path=str(tmp_path / "ae.npz"), log=None)
+    _, teacher = train_latent_ddpm(
+        tiny_imgs, str(tmp_path / "ae.npz"), DiffusionConfig(num_steps=32),
+        TrainConfig(batch_size=8, epochs=1, patience=50, checkpoint_every=0),
+        base_ch=8, levels=2, out_dir=str(tmp_path), log=None,
+    )
+    out_path, student, grid, losses = consistency_distill_checkpoint(
+        teacher, tiny_imgs, n_grid=4, steps=20, batch_size=8,
+        compute_dtype=None, out_path=str(tmp_path / "lcm.npz"), log=None,
+    )
+    assert np.isfinite(losses).all()
+
+    imgs01, info = sample_from_checkpoint(
+        str(tmp_path / "lcm.npz"), jax.random.PRNGKey(0), num_images=3
+    )
+    assert info["sampler"] == "latent-consistency" and info["T"] == 1
+    assert imgs01.shape == (3, 16, 16)
+    assert np.isfinite(imgs01).all()
+    # multistep override reaches 2-call refinement through the same entry
+    imgs2, info2 = sample_from_checkpoint(
+        str(tmp_path / "lcm.npz"), jax.random.PRNGKey(0), num_images=2, steps=2
+    )
+    assert info2["T"] == 2 and imgs2.shape == (2, 16, 16)
