@@ -217,6 +217,51 @@ def bench_latent(path: str, batch: int = 256, R: int = 20):
     return batch / (min(times) / R)
 
 
+def bench_lcm(path: str, batch: int = 256, R: int = 100):
+    """Latent-consistency-model serving: ONE student call in latent space +
+    VAE decode per batch (BASELINE.md LCM section) — the framework's
+    fastest operating point. Same in-program-repeat harness."""
+    from igdm_tpu.checkpoint.pytree_io import load_for_sampling
+    from igdm_tpu.config import DiffusionConfig, config_from_dict
+    from igdm_tpu.models import autoencoder
+    from igdm_tpu.sampling.consistency import make_consistency_sampler
+    from igdm_tpu.training.latent import load_autoencoder, resolve_ae_path
+
+    params, state, meta = load_for_sampling(path)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    ae_params, _ = load_autoencoder(resolve_ae_path(path, meta["latent"]))
+    cfg = config_from_dict(DiffusionConfig, meta.get("diff_cfg", {}))
+    dm = meta.get("data", {})
+    scale = float(meta["latent"].get("scale", 1.0))
+    zfn = make_consistency_sampler(
+        params, meta["consistency"]["grid"], cfg=cfg, num_images=batch,
+        steps=1, image_size=tuple(dm.get("image_size", (8, 8))),
+        channels=int(dm.get("channels", 4)),
+        model_kind=meta.get("model", "unet4"),
+        model_state=state or None, compute_dtype=jnp.bfloat16,
+    )
+
+    def fn(key):
+        return autoencoder.decode(ae_params, zfn(key) / scale)
+
+    @jax.jit
+    def multi(key):
+        def body(acc, i):
+            return acc + jnp.mean(fn(jax.random.fold_in(key, i))), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(R))
+        return acc
+
+    key = jax.random.PRNGKey(0)
+    _sync(multi(key))
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _sync(multi(jax.random.fold_in(key, 100 + i)))
+        times.append(time.perf_counter() - t0)
+    return batch / (min(times) / R)
+
+
 def bench_reflow(path: str, batch: int = 256, R: int = 100, steps: int = 1):
     """Reflowed rectified-flow serving throughput (1 model call/traj —
     BASELINE.md reflow table). Same in-program-repeat harness as
@@ -368,6 +413,14 @@ def main():
             record["reflow1_samples_per_sec"] = round(bench_reflow(reflow_ckpt), 1)
         except Exception as e:
             print(f"[bench] reflow bench skipped: {e}", file=sys.stderr)
+    lcm_ckpt = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts", "lcm_model.npz"
+    )
+    if os.path.exists(lcm_ckpt):  # 1-call latent operating point (fastest)
+        try:
+            record["lcm1_samples_per_sec"] = round(bench_lcm(lcm_ckpt), 1)
+        except Exception as e:
+            print(f"[bench] lcm bench skipped: {e}", file=sys.stderr)
     latent_ckpt = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "artifacts", "latent_model.npz"
     )
