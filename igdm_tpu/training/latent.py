@@ -129,6 +129,7 @@ def train_latent_ddpm(
     base_ch: int = 64,
     levels: int = 2,
     sample_posterior: bool = False,
+    mesh=None,
     out_dir: str = ".",
     save_final: str = "latent_model",
     log: Callable[[str], None] | None = print,
@@ -167,7 +168,7 @@ def train_latent_ddpm(
     train_cfg = dataclasses.replace(train_cfg, checkpoint_every=0)
     res = train_ddpm(
         latents, diff_cfg, train_cfg, model_kind="unet4", base_ch=base_ch,
-        levels=levels, out_dir=out_dir, save_final=None, log=log,
+        levels=levels, mesh=mesh, out_dir=out_dir, save_final=None, log=log,
     )
     path = os.path.join(out_dir, f"{save_final}.npz")
     save_checkpoint(

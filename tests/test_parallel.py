@@ -633,3 +633,34 @@ print("RANK", jax.process_index(), "OK")
     for rank, (p, (out, err)) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{err[-2000:]}"
         assert f"RANK {rank} OK" in out
+
+
+def test_latent_ddpm_sharded_matches_unsharded(tmp_path):
+    """The latent family inherits data parallelism from the shared trainer:
+    a latent DDPM epoch under the 8-device data mesh computes the same
+    losses as unsharded (the round-1 DP contract, extended to round 4's
+    newest family)."""
+    from igdm_tpu.config import DiffusionConfig, TrainConfig
+    from igdm_tpu.parallel.mesh import make_mesh
+    from igdm_tpu.training.latent import train_autoencoder, train_latent_ddpm
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((32, 4, 4, 1)).astype(np.float32)
+    imgs = np.clip(np.repeat(np.repeat(base, 4, axis=1), 4, axis=2) * 0.5, -1, 1)
+    ae = str(tmp_path / "ae.npz")
+    train_autoencoder(imgs, epochs=2, batch_size=8, base_ch=8, latent_ch=4,
+                      out_path=ae, log=None)
+
+    def run(mesh, sub):
+        d = tmp_path / sub
+        d.mkdir()
+        res, _ = train_latent_ddpm(
+            imgs, ae, DiffusionConfig(num_steps=4),
+            TrainConfig(batch_size=8, epochs=2, patience=50, checkpoint_every=0),
+            base_ch=8, levels=2, mesh=mesh, out_dir=str(d), log=None,
+        )
+        return res.losses
+
+    unsharded = run(None, "u")
+    sharded = run(make_mesh(8), "s")
+    np.testing.assert_allclose(unsharded, sharded, rtol=2e-5, atol=2e-6)
