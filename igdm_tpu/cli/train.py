@@ -88,6 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="--model latent: latent channels of a newly trained autoencoder",
     )
     p.add_argument(
+        "--conditional", action="store_true",
+        help="--model latent: train a CLASS-CONDITIONAL latent DDPM on "
+        "--classes k-means pseudo-labels (guided CFG sampling + decode; "
+        "the Stable-Diffusion-shaped stack)",
+    )
+    p.add_argument(
         "--kl-weight", type=float, default=1e-2,
         help="--model latent: VAE KL weight — the coverage lever (the "
         "BASELINE.md latent sweep measured 1e-4 -> near-memorization, "
@@ -264,10 +270,22 @@ def main(argv=None) -> int:
             compute_dtype=args.compute_dtype,
             checkpoint_every=0,
         )
-        res, _ = train_latent_ddpm(
-            imgs_pm1, ae_path, diff_cfg, train_cfg,
-            base_ch=args.base_ch or 64, out_dir=args.out_dir, log=print,
-        )
+        if args.conditional:
+            from igdm_tpu.data.labels import kmeans_labels
+            from igdm_tpu.training.latent import train_latent_conditional
+
+            labels = kmeans_labels((imgs + 1.0) / 2.0, k=args.classes,
+                                   seed=args.seed)
+            res, _ = train_latent_conditional(
+                imgs_pm1, labels, args.classes, ae_path, diff_cfg, train_cfg,
+                drop_prob=args.drop_prob, base_ch=args.base_ch or 64,
+                out_dir=args.out_dir, log=print,
+            )
+        else:
+            res, _ = train_latent_ddpm(
+                imgs_pm1, ae_path, diff_cfg, train_cfg,
+                base_ch=args.base_ch or 64, out_dir=args.out_dir, log=print,
+            )
         for i, l in enumerate(res.losses):
             metrics.log(i + 1, loss=l)
         losses = res.losses

@@ -174,6 +174,32 @@ def sample_from_checkpoint(
                 "sampler": "latent-consistency",
             }
 
+        if "conditional" in meta:  # conditional LDM: guided CFG in latent space
+            from igdm_tpu.sampling.guided import sample_cfg
+
+            num_classes = int(meta["conditional"]["num_classes"])
+            lab = (
+                np.full((num_images,), int(label) % num_classes)
+                if label is not None
+                else np.arange(num_images) % num_classes
+            )
+            z = sample_cfg(
+                params, key, jnp.asarray(lab), guidance_scale=guidance_scale,
+                cfg=cfg, num_sample_steps=ddim_steps, image_size=image_size,
+                channels=channels, clip_x0=False,
+                objective=(meta.get("train_cfg") or {}).get("objective", "eps"),
+            )
+            out = jax.jit(autoencoder.decode)(
+                ae_params, z / float(lmeta.get("scale", 1.0))
+            )
+            arr = np.clip(np.asarray(out), -1.0, 1.0)
+            pc = int(lmeta.get("pixel_channels", 1))
+            imgs01 = (arr[..., 0] + 1.0) / 2.0 if pc == 1 else (arr + 1.0) / 2.0
+            return imgs01, {
+                "model": f"unet4(latent-cond)", "T": ddim_steps,
+                "sampler": "latent-cfg", "guidance_scale": guidance_scale,
+            }
+
         if sampler not in ("auto", "ddim", "ancestral", "textbook"):
             raise ValueError(
                 f"sampler {sampler!r} is not implemented for latent checkpoints "

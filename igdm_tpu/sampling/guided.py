@@ -38,8 +38,12 @@ def sample_cfg(
     channels: int = 1,
     objective: str = "eps",
     compute_dtype=None,
+    clip_x0: bool = True,
 ):
     """Guided DDIM sampling: one image per entry of ``labels``.
+
+    ``clip_x0=False`` disables the [-1,1] x0 clamp and the final clip —
+    required when guiding in a latent space (sampling/latent.py).
 
     eps_guided = eps_uncond + s * (eps_cond - eps_uncond); s=0 is the pure
     unconditional model, s=1 the pure conditional one, s>1 over-emphasizes
@@ -58,7 +62,7 @@ def sample_cfg(
         jnp.asarray(ts.copy()), jnp.asarray(ts_prev.copy()),
         guidance_scale=float(guidance_scale), eta=float(eta),
         image_size=tuple(image_size), channels=channels,
-        objective=objective, compute_dtype=compute_dtype,
+        objective=objective, compute_dtype=compute_dtype, clip_x0=clip_x0,
     )
 
 
@@ -66,12 +70,13 @@ def sample_cfg(
     jax.jit,
     static_argnames=(
         "guidance_scale", "eta", "image_size", "channels", "objective",
-        "compute_dtype",
+        "compute_dtype", "clip_x0",
     ),
 )
 def _sample_cfg_impl(
     params, key, labels, alpha_bar, ts, ts_prev,
     *, guidance_scale, eta, image_size, channels, objective, compute_dtype,
+    clip_x0=True,
 ):
     num_images = labels.shape[0]
     h, w = image_size
@@ -103,8 +108,9 @@ def _sample_cfg_impl(
             if eta > 0
             else None
         )
-        x = ddim_step(x, eps, ab_ext[t], ab_ext[t_prev], eta=eta, noise=noise)
+        x = ddim_step(x, eps, ab_ext[t], ab_ext[t_prev], eta=eta, noise=noise,
+                      clip_x0=clip_x0)
         return x, None
 
     x, _ = jax.lax.scan(body, x, (ts, ts_prev, jnp.arange(ts.shape[0])))
-    return jnp.clip(x, -1.0, 1.0)
+    return jnp.clip(x, -1.0, 1.0) if clip_x0 else x

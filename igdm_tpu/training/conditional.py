@@ -100,6 +100,7 @@ def train_conditional_ddpm(
     drop_prob: float = 0.1,
     base_ch: int = 32,
     mid_attn: bool = False,
+    levels: int = 4,
     out_dir: str = ".",
     save_final: str | None = "conditional_model",
     log: Callable[[str], None] | None = print,
@@ -128,7 +129,7 @@ def train_conditional_ddpm(
     kp, kr = jax.random.split(key)
     params = unet4.init(
         kp, in_channels=imgs.shape[-1], base_ch=base_ch, mid_attn=mid_attn,
-        num_classes=num_classes,
+        num_classes=num_classes, levels=levels,
     )
     tx = make_optimizer(train_cfg)
     ema = jax.tree_util.tree_map(jnp.array, params) if train_cfg.ema_decay > 0 else None

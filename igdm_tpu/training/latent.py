@@ -192,3 +192,66 @@ def train_latent_ddpm(
     if log:
         log(f"saved latent DDPM to {path}")
     return res, path
+
+
+def train_latent_conditional(
+    imgs: np.ndarray,
+    labels: np.ndarray,
+    num_classes: int,
+    ae_path: str,
+    diff_cfg: DiffusionConfig | None = None,
+    train_cfg: TrainConfig | None = None,
+    *,
+    drop_prob: float = 0.1,
+    base_ch: int = 64,
+    levels: int = 2,
+    out_dir: str = ".",
+    save_final: str = "latent_cond_model",
+    log: Callable[[str], None] | None = print,
+):
+    """Class-conditional latent diffusion (the Stable-Diffusion shape at
+    this dataset's scale): encode with the VAE, train the classifier-free
+    conditional DDPM on the scaled latents, keep BOTH ``latent`` and
+    ``conditional`` metadata so the dispatcher runs guided CFG sampling in
+    latent space (clip-free) and decodes."""
+    import dataclasses
+
+    from igdm_tpu.checkpoint.pytree_io import save_checkpoint
+    from igdm_tpu.training.conditional import train_conditional_ddpm
+
+    diff_cfg = diff_cfg or DiffusionConfig()
+    train_cfg = train_cfg or TrainConfig()
+    ae_params, ae_meta = load_autoencoder(ae_path)
+    scale = float(ae_meta.get("scale", 1.0))
+
+    imgs = jnp.asarray(imgs, jnp.float32)
+    mean, _ = jax.jit(autoencoder.encode)(ae_params, imgs)
+    latents = np.asarray(mean * scale, np.float32)
+
+    train_cfg = dataclasses.replace(train_cfg, checkpoint_every=0)
+    res = train_conditional_ddpm(
+        latents, np.asarray(labels), num_classes, diff_cfg, train_cfg,
+        drop_prob=drop_prob, base_ch=base_ch, levels=levels,
+        out_dir=out_dir, save_final=None, log=log,
+    )
+    path = os.path.join(out_dir, f"{save_final}.npz")
+    save_checkpoint(
+        path, res.state, epoch=res.epochs_run,
+        diff_cfg=diff_cfg, train_cfg=train_cfg, model="unet4",
+        data={
+            "channels": int(latents.shape[-1]),
+            "image_size": [int(latents.shape[1]), int(latents.shape[2])],
+        },
+        conditional={"num_classes": int(num_classes), "drop_prob": float(drop_prob)},
+        latent={
+            "ae_path": os.path.basename(str(ae_path)),
+            "ae_path_abs": os.path.abspath(str(ae_path)),
+            "scale": scale,
+            "pixel_size": [int(imgs.shape[1]), int(imgs.shape[2])],
+            "pixel_channels": int(imgs.shape[-1]),
+        },
+    )
+    res.checkpoints.append(path)
+    if log:
+        log(f"saved conditional latent DDPM to {path}")
+    return res, path
