@@ -132,6 +132,30 @@ def bench_train_step(
     return steps_per_epoch / min(times), steps_per_epoch / _median(times), device_step_ms
 
 
+def _time_scan_repeat(fn, batch: int, R: int) -> float:
+    """samples/s of ``fn(key) -> images``: R trajectories scanned inside ONE
+    jitted program (amortizes the relay dispatch), scalar-only fetch,
+    best-of-3 timing — the docs/design.md methodology, shared by every
+    few-step serving bench."""
+
+    @jax.jit
+    def multi(key):
+        def body(acc, i):
+            return acc + jnp.mean(fn(jax.random.fold_in(key, i))), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(R))
+        return acc
+
+    key = jax.random.PRNGKey(0)
+    _sync(multi(key))
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _sync(multi(jax.random.fold_in(key, 100 + i)))
+        times.append(time.perf_counter() - t0)
+    return batch / (min(times) / R)
+
+
 def bench_distilled(path: str, batch: int = 256, R: int = 20):
     """Distilled-student serving throughput (8 deterministic steps/traj).
 
@@ -152,23 +176,7 @@ def bench_distilled(path: str, batch: int = 256, R: int = 20):
         model_kind=meta.get("model", "unet4"),
     )
 
-    @jax.jit
-    def multi(key):
-        def body(acc, i):
-            return acc + jnp.mean(fn(jax.random.fold_in(key, i))), None
-
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(R))
-        return acc
-
-    key = jax.random.PRNGKey(0)
-    _sync(multi(key))
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        _sync(multi(jax.random.fold_in(key, 100 + i)))
-        times.append(time.perf_counter() - t0)
-    per_traj = min(times) / R
-    return batch / per_traj, len(grid) - 1
+    return _time_scan_repeat(fn, batch, R), len(grid) - 1
 
 
 def bench_latent(path: str, batch: int = 256, R: int = 20):
@@ -199,22 +207,7 @@ def bench_latent(path: str, batch: int = 256, R: int = 20):
             model_state=state,
         )
 
-    @jax.jit
-    def multi(key):
-        def body(acc, i):
-            return acc + jnp.mean(fn(jax.random.fold_in(key, i))), None
-
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(R))
-        return acc
-
-    key = jax.random.PRNGKey(0)
-    _sync(multi(key))
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        _sync(multi(jax.random.fold_in(key, 100 + i)))
-        times.append(time.perf_counter() - t0)
-    return batch / (min(times) / R)
+    return _time_scan_repeat(fn, batch, R)
 
 
 def bench_lcm(path: str, batch: int = 256, R: int = 100):
@@ -238,28 +231,15 @@ def bench_lcm(path: str, batch: int = 256, R: int = 100):
         steps=1, image_size=tuple(dm.get("image_size", (8, 8))),
         channels=int(dm.get("channels", 4)),
         model_kind=meta.get("model", "unet4"),
-        model_state=state or None, compute_dtype=jnp.bfloat16,
+        model_state=state or None,
+        sigma_data=float(meta["consistency"].get("sigma_data", 0.5)),
+        compute_dtype=jnp.bfloat16,
     )
 
     def fn(key):
         return autoencoder.decode(ae_params, zfn(key) / scale)
 
-    @jax.jit
-    def multi(key):
-        def body(acc, i):
-            return acc + jnp.mean(fn(jax.random.fold_in(key, i))), None
-
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(R))
-        return acc
-
-    key = jax.random.PRNGKey(0)
-    _sync(multi(key))
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        _sync(multi(jax.random.fold_in(key, 100 + i)))
-        times.append(time.perf_counter() - t0)
-    return batch / (min(times) / R)
+    return _time_scan_repeat(fn, batch, R)
 
 
 def bench_reflow(path: str, batch: int = 256, R: int = 100, steps: int = 1):
@@ -277,23 +257,7 @@ def bench_reflow(path: str, batch: int = 256, R: int = 100, steps: int = 1):
         compute_dtype=jnp.bfloat16,
     )
 
-    @jax.jit
-    def multi(key):
-        def body(acc, i):
-            return acc + jnp.mean(fn(jax.random.fold_in(key, i))), None
-
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(R))
-        return acc
-
-    key = jax.random.PRNGKey(0)
-    _sync(multi(key))
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        _sync(multi(jax.random.fold_in(key, 100 + i)))
-        times.append(time.perf_counter() - t0)
-    per_traj = min(times) / R
-    return batch / per_traj
+    return _time_scan_repeat(fn, batch, R)
 
 
 def bench_consistency(path: str, batch: int = 256, R: int = 100):
@@ -309,25 +273,11 @@ def bench_consistency(path: str, batch: int = 256, R: int = 100):
     fn = make_consistency_sampler(
         params, meta["consistency"]["grid"], cfg=cfg, num_images=batch,
         steps=1, model_kind=meta.get("model", "unet4"),
+        sigma_data=float(meta["consistency"].get("sigma_data", 0.5)),
         compute_dtype=jnp.bfloat16,
     )
 
-    @jax.jit
-    def multi(key):
-        def body(acc, i):
-            return acc + jnp.mean(fn(jax.random.fold_in(key, i))), None
-
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(R))
-        return acc
-
-    key = jax.random.PRNGKey(0)
-    _sync(multi(key))
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        _sync(multi(jax.random.fold_in(key, 100 + i)))
-        times.append(time.perf_counter() - t0)
-    return batch / (min(times) / R)
+    return _time_scan_repeat(fn, batch, R)
 
 
 def main():

@@ -270,6 +270,11 @@ def main(argv=None) -> int:
             compute_dtype=args.compute_dtype,
             checkpoint_every=0,
         )
+        mesh = None
+        if args.n_devices:
+            from igdm_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(args.n_devices)
         if args.conditional:
             from igdm_tpu.data.labels import kmeans_labels
             from igdm_tpu.training.latent import train_latent_conditional
@@ -279,12 +284,13 @@ def main(argv=None) -> int:
             res, _ = train_latent_conditional(
                 imgs_pm1, labels, args.classes, ae_path, diff_cfg, train_cfg,
                 drop_prob=args.drop_prob, base_ch=args.base_ch or 64,
-                out_dir=args.out_dir, log=print,
+                mesh=mesh, out_dir=args.out_dir, log=print,
             )
         else:
             res, _ = train_latent_ddpm(
                 imgs_pm1, ae_path, diff_cfg, train_cfg,
-                base_ch=args.base_ch or 64, out_dir=args.out_dir, log=print,
+                base_ch=args.base_ch or 64, mesh=mesh, out_dir=args.out_dir,
+                log=print,
             )
         for i, l in enumerate(res.losses):
             metrics.log(i + 1, loss=l)

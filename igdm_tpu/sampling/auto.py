@@ -16,6 +16,31 @@ from igdm_tpu.config import DiffusionConfig, config_from_dict
 # sampling from one checkpoint (the igdm-quality protocol draws many chunks)
 # must not re-read + re-upload the file per chunk (round-4 review finding)
 _LOAD_CACHE: dict = {}
+# same idea for the latent family's VAE + its jitted decoder: one slot,
+# keyed by the resolved autoencoder path's mtime
+_AE_CACHE: dict = {}
+_DECODE_JIT = None
+
+
+def _load_ae_cached(ae_path: str):
+    import os as _os
+
+    key = (ae_path, _os.path.getmtime(ae_path))
+    if _AE_CACHE.get("key") != key:
+        from igdm_tpu.training.latent import load_autoencoder
+
+        _AE_CACHE["key"] = key
+        _AE_CACHE["value"] = load_autoencoder(ae_path)[0]
+    return _AE_CACHE["value"]
+
+
+def _decode(ae_params, z):
+    global _DECODE_JIT
+    if _DECODE_JIT is None:
+        from igdm_tpu.models import autoencoder
+
+        _DECODE_JIT = jax.jit(autoencoder.decode)
+    return _DECODE_JIT(ae_params, z)
 
 
 def sample_from_checkpoint(
@@ -145,12 +170,22 @@ def sample_from_checkpoint(
     image_size = tuple(data_meta.get("image_size", (32, 32)))
 
     if "latent" in meta:  # latent-diffusion checkpoint: sample z, decode
-        from igdm_tpu.models import autoencoder
         from igdm_tpu.sampling.latent import sample_latent
-        from igdm_tpu.training.latent import load_autoencoder, resolve_ae_path
+        from igdm_tpu.training.latent import resolve_ae_path
 
         lmeta = meta["latent"]
-        ae_params, _ = load_autoencoder(resolve_ae_path(path, lmeta))
+        ae_params = _load_ae_cached(resolve_ae_path(path, lmeta))
+        if sampler not in ("auto", "ddim", "ancestral", "textbook"):
+            raise ValueError(
+                f"sampler {sampler!r} is not implemented for latent checkpoints "
+                "(supported: ddim [default], ancestral/textbook)"
+            )
+
+        def decode01(z):
+            out = _decode(ae_params, z / float(lmeta.get("scale", 1.0)))
+            arr = np.clip(np.asarray(out), -1.0, 1.0)
+            pc = int(lmeta.get("pixel_channels", 1))
+            return (arr[..., 0] + 1.0) / 2.0 if pc == 1 else (arr + 1.0) / 2.0
 
         if "consistency" in meta:  # latent consistency model: 1-call + decode
             from igdm_tpu.sampling.consistency import sample_consistency
@@ -163,13 +198,7 @@ def sample_from_checkpoint(
                 image_size=image_size, model_kind=model_kind,
                 model_state=state, sigma_data=float(cmeta.get("sigma_data", 0.5)),
             )
-            out = jax.jit(autoencoder.decode)(
-                ae_params, z / float(lmeta.get("scale", 1.0))
-            )
-            arr = np.clip(np.asarray(out), -1.0, 1.0)
-            pc = int(lmeta.get("pixel_channels", 1))
-            imgs01 = (arr[..., 0] + 1.0) / 2.0 if pc == 1 else (arr + 1.0) / 2.0
-            return imgs01, {
+            return decode01(z), {
                 "model": f"{model_kind}(latent-cd)", "T": n_calls,
                 "sampler": "latent-consistency",
             }
@@ -189,33 +218,19 @@ def sample_from_checkpoint(
                 channels=channels, clip_x0=False,
                 objective=(meta.get("train_cfg") or {}).get("objective", "eps"),
             )
-            out = jax.jit(autoencoder.decode)(
-                ae_params, z / float(lmeta.get("scale", 1.0))
-            )
-            arr = np.clip(np.asarray(out), -1.0, 1.0)
-            pc = int(lmeta.get("pixel_channels", 1))
-            imgs01 = (arr[..., 0] + 1.0) / 2.0 if pc == 1 else (arr + 1.0) / 2.0
-            return imgs01, {
-                "model": f"unet4(latent-cond)", "T": ddim_steps,
+            return decode01(z), {
+                "model": f"{model_kind}(latent-cond)", "T": ddim_steps,
                 "sampler": "latent-cfg", "guidance_scale": guidance_scale,
             }
 
-        if sampler not in ("auto", "ddim", "ancestral", "textbook"):
-            raise ValueError(
-                f"sampler {sampler!r} is not implemented for latent checkpoints "
-                "(supported: ddim [default], ancestral/textbook)"
-            )
-        out = sample_latent(
-            params, ae_params, key, cfg=cfg, scale=float(lmeta.get("scale", 1.0)),
+        z = sample_latent(
+            params, ae_params, key, cfg=cfg, decode=False,  # decode01 decodes
             num_images=num_images, latent_size=image_size, latent_ch=channels,
             method="ddim" if sampler in ("auto", "ddim") else "ancestral",
             num_sample_steps=ddim_steps, model_kind=model_kind,
             model_state=state,
         )
-        arr = np.clip(np.asarray(out), -1.0, 1.0)
-        pc = int(lmeta.get("pixel_channels", 1))
-        imgs01 = (arr[..., 0] + 1.0) / 2.0 if pc == 1 else (arr + 1.0) / 2.0
-        return imgs01, {
+        return decode01(z), {
             "model": f"{model_kind}(latent)",
             "T": len(np.unique(np.linspace(1, cfg.num_steps, ddim_steps).round()))
             if sampler in ("auto", "ddim") else cfg.num_steps,

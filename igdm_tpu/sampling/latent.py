@@ -70,8 +70,12 @@ def sample_latent(
     num_sample_steps: int = 50,
     model_kind: str = "unet4",
     model_state=None,
+    decode: bool = True,
 ):
-    """Sample latents (clip-free), unscale, decode -> (N, H, W, C) images."""
+    """Sample latents (clip-free), unscale, decode -> (N, H, W, C) images.
+
+    decode=False returns the raw sampled latents (still scaled) — callers
+    that own the decode step (sampling/auto's cached decoder) use this."""
     from igdm_tpu.training.ddpm import make_apply_fn
 
     cfg = cfg or DiffusionConfig()
@@ -92,4 +96,6 @@ def sample_latent(
         latent_ch=latent_ch, num_steps=cfg.num_steps, method=method,
         apply_fn=make_apply_fn(model_kind, cfg.embed_dim),
     )
+    if not decode:
+        return z
     return jax.jit(autoencoder.decode)(ae_params, z / scale)

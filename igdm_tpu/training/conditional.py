@@ -101,6 +101,7 @@ def train_conditional_ddpm(
     base_ch: int = 32,
     mid_attn: bool = False,
     levels: int = 4,
+    mesh=None,
     out_dir: str = ".",
     save_final: str | None = "conditional_model",
     log: Callable[[str], None] | None = print,
@@ -154,6 +155,17 @@ def train_conditional_ddpm(
     )
     imgs_dev = jnp.asarray(imgs, jnp.float32)
     labels_dev = jnp.asarray(labels, jnp.int32)
+    if mesh is not None:  # data parallelism, same recipe as train_ddpm
+        from igdm_tpu.parallel.sharding import replicate_tree, shard_batch
+
+        imgs_dev = shard_batch(mesh, imgs_dev)
+        labels_dev = shard_batch(mesh, labels_dev)
+        state = state.replace(
+            params=replicate_tree(mesh, state.params),
+            opt_state=replicate_tree(mesh, state.opt_state),
+            ema_params=None if state.ema_params is None
+            else replicate_tree(mesh, state.ema_params),
+        )
 
     result = run_epoch_loop(
         state, (imgs_dev, labels_dev), epoch_fn, epoch_fn_single, k, train_cfg,

@@ -242,6 +242,7 @@ def consistency_distill_checkpoint(
     objective = (meta.get("train_cfg") or {}).get("objective", "eps")
 
     latent_meta = meta.get("latent")
+    sigma_data = SIGMA_DATA  # std of [-1,1] pixel data (Karras convention)
     if latent_meta is not None:
         from igdm_tpu.models import autoencoder
         from igdm_tpu.training.latent import load_autoencoder, resolve_ae_path
@@ -249,14 +250,19 @@ def consistency_distill_checkpoint(
         ae_params, _ = load_autoencoder(resolve_ae_path(teacher_ckpt, latent_meta))
         mean, _ = jax.jit(autoencoder.encode)(ae_params, jnp.asarray(imgs, jnp.float32))
         imgs = mean * float(latent_meta.get("scale", 1.0))
+        # the scaled latents are ~unit-std, not pixel-std: sigma_data must
+        # match the data the consistency parameterization runs on, or the
+        # c_skip/c_out balance is systematically off (round-4 review)
+        sigma_data = float(jnp.std(imgs))
         if log:
-            log(f"[consistency] latent teacher: distilling in {tuple(imgs.shape[1:])} latent space")
+            log(f"[consistency] latent teacher: distilling in "
+                f"{tuple(imgs.shape[1:])} latent space (sigma_data={sigma_data:.3f})")
 
     student, grid, losses = consistency_distill(
         params, imgs, diff_cfg=diff_cfg, objective=objective, n_grid=n_grid,
         steps=steps, batch_size=batch_size, lr=lr, model_kind=model_kind,
         compute_dtype=compute_dtype, key=jax.random.PRNGKey(seed), log=log,
-        model_state=state or None,
+        model_state=state or None, sigma_data=sigma_data,
     )
     save_state = TrainState(
         params=student, model_state=state or {}, opt_state={},
@@ -268,7 +274,7 @@ def consistency_distill_checkpoint(
         out_path, save_state, diff_cfg=diff_cfg, model=model_kind,
         data=meta.get("data", {}),
         consistency={
-            "grid": [int(g) for g in grid], "sigma_data": SIGMA_DATA,
+            "grid": [int(g) for g in grid], "sigma_data": sigma_data,
             "teacher": str(teacher_ckpt), "steps_trained": int(len(losses)),
             "default_steps": 1,
         },

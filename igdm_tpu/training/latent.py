@@ -96,13 +96,18 @@ def resolve_ae_path(ckpt_path: str, latent_meta: dict) -> str:
     the committed-artifact layout, which keeps checkpoints portable across
     checkouts."""
     ae_path = str(latent_meta["ae_path"])
-    if os.path.isfile(ae_path):
+    if os.path.isabs(ae_path) and os.path.isfile(ae_path):
         return ae_path
+    # relative path: the checkpoint's OWN directory wins over the CWD — a
+    # same-named VAE left in the working directory must not silently shadow
+    # the one shipped next to the checkpoint (round-4 review finding)
     cand = os.path.join(
         os.path.dirname(os.path.abspath(ckpt_path)), os.path.basename(ae_path)
     )
     if os.path.isfile(cand):
         return cand
+    if os.path.isfile(ae_path):
+        return ae_path
     ae_abs = str(latent_meta.get("ae_path_abs", ""))
     if ae_abs and os.path.isfile(ae_abs):
         return ae_abs
@@ -205,6 +210,7 @@ def train_latent_conditional(
     drop_prob: float = 0.1,
     base_ch: int = 64,
     levels: int = 2,
+    mesh=None,
     out_dir: str = ".",
     save_final: str = "latent_cond_model",
     log: Callable[[str], None] | None = print,
@@ -231,7 +237,7 @@ def train_latent_conditional(
     train_cfg = dataclasses.replace(train_cfg, checkpoint_every=0)
     res = train_conditional_ddpm(
         latents, np.asarray(labels), num_classes, diff_cfg, train_cfg,
-        drop_prob=drop_prob, base_ch=base_ch, levels=levels,
+        drop_prob=drop_prob, base_ch=base_ch, levels=levels, mesh=mesh,
         out_dir=out_dir, save_final=None, log=log,
     )
     path = os.path.join(out_dir, f"{save_final}.npz")
