@@ -63,6 +63,52 @@ def evaluate_samples(samples: np.ndarray, dataset: np.ndarray) -> dict:
 METRICS = ("nn_mse", "coverage", "pairwise_diversity")
 
 
+def class_purity(samples, want_labels, dataset, dataset_labels) -> float:
+    """Fraction of samples whose nearest dataset neighbor carries the
+    REQUESTED class label — the guided-generation fidelity metric used by
+    the CFG purity curves (BASELINE.md)."""
+    d = _sq_dists(np.asarray(samples), np.asarray(dataset))
+    nn = np.asarray(jnp.argmin(d, axis=1))
+    return float(np.mean(np.asarray(dataset_labels)[nn] == np.asarray(want_labels)))
+
+
+def evaluate_guided_purity(
+    sample_fn,
+    dataset: np.ndarray,
+    dataset_labels: np.ndarray,
+    *,
+    n_samples: int = 512,
+    seeds=(0, 1, 2),
+    batch: int = 256,
+) -> dict:
+    """Seeds-aware CFG purity (the error-bar protocol for conditional
+    models). ``sample_fn(key, want_labels) -> (n, H, W[, C])`` draws one
+    guided sample per requested label; labels cycle over the classes."""
+    import jax
+
+    num_classes = int(np.max(dataset_labels)) + 1
+    per_seed = []
+    for s in seeds:
+        key = jax.random.PRNGKey(s)
+        chunks, wants, done, i = [], [], 0, 0
+        while done < n_samples:
+            n = min(batch, n_samples - done)
+            want = (np.arange(done, done + n) % num_classes).astype(np.int32)
+            chunks.append(np.asarray(sample_fn(jax.random.fold_in(key, i), want)))
+            wants.append(want)
+            done += n
+            i += 1
+        per_seed.append(class_purity(
+            np.concatenate(chunks), np.concatenate(wants), dataset, dataset_labels
+        ))
+    vals = np.asarray(per_seed, np.float64)
+    return {
+        "mean": float(vals.mean()), "std": float(vals.std()),
+        "per_seed": [float(v) for v in per_seed],
+        "chance": 1.0 / num_classes, "n_samples": int(n_samples),
+    }
+
+
 def evaluate_sampler(
     sample_fn,
     dataset: np.ndarray,

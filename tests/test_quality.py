@@ -119,3 +119,35 @@ def test_quality_cli_upscales_reference_for_64px_checkpoints(tmp_path, capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out)
     assert rep["n_samples"] == 4 and np.isfinite(rep["nn_mse"]["mean"])
+
+
+def test_guided_purity_protocol():
+    """class_purity + the seeds-aware guided protocol: a sampler that
+    returns class-pure near-copies scores ~1.0; a label-blind one scores
+    ~chance."""
+    import jax
+
+    from igdm_tpu.utils.quality import evaluate_guided_purity
+
+    rng = np.random.default_rng(0)
+    K = 4
+    data = rng.uniform(0, 1, (40, 8, 8)).astype(np.float32)
+    # make classes linearly separable: shift each class's images
+    labels = np.arange(40) % K
+    data = data + labels[:, None, None] * 2.0
+
+    def pure_fn(key, want):
+        idx = np.array([np.where(labels == w)[0][0] for w in want])
+        return data[idx] + rng.normal(0, 0.01, (len(want), 8, 8)).astype(np.float32)
+
+    rep = evaluate_guided_purity(pure_fn, data, labels, n_samples=24,
+                                 seeds=(0, 1), batch=12)
+    assert rep["mean"] > 0.95 and rep["chance"] == pytest.approx(0.25)
+    assert len(rep["per_seed"]) == 2
+
+    def blind_fn(key, want):
+        return data[rng.integers(0, 40, len(want))]
+
+    rep_b = evaluate_guided_purity(blind_fn, data, labels, n_samples=24,
+                                   seeds=(0, 1), batch=12)
+    assert rep_b["mean"] < 0.6
