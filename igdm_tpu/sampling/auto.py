@@ -135,6 +135,20 @@ def sample_from_checkpoint(
             channels=channels, steps=ddim_steps, method=method,
             time_scale=float(meta["flow"].get("time_scale", 1000.0)),
         )
+        if "latent" in meta:  # latent flow / latent reflow: ODE endpoint
+            # is a latent (naturally unclamped) — unscale and decode
+            from igdm_tpu.training.latent import resolve_ae_path
+
+            lmeta = meta["latent"]
+            ae_params = _load_ae_cached(resolve_ae_path(path, lmeta))
+            dec = _decode(ae_params, out / float(lmeta.get("scale", 1.0)))
+            arr = np.clip(np.asarray(dec), -1.0, 1.0)
+            pc = int(lmeta.get("pixel_channels", 1))
+            imgs01 = (arr[..., 0] + 1.0) / 2.0 if pc == 1 else (arr + 1.0) / 2.0
+            return imgs01, {
+                "model": f"{model_kind}(latent-flow)", "T": ddim_steps,
+                "sampler": f"latent-flow-{method}",
+            }
         arr = np.asarray(out)
         imgs01 = np.clip(
             (arr[..., 0] + 1.0) / 2.0 if channels == 1 else (arr + 1.0) / 2.0,

@@ -113,6 +113,7 @@ def train_flow(
     *,
     base_ch: int = 32,
     mid_attn: bool = False,
+    levels: int = 4,
     time_scale: float = TIME_SCALE,
     out_dir: str = ".",
     save_final: str | None = "flow_model",
@@ -139,7 +140,8 @@ def train_flow(
     key = jax.random.PRNGKey(train_cfg.seed)
     kp, kr = jax.random.split(key)
     params = unet4.init(
-        kp, in_channels=imgs.shape[-1], base_ch=base_ch, mid_attn=mid_attn
+        kp, in_channels=imgs.shape[-1], base_ch=base_ch, mid_attn=mid_attn,
+        levels=levels,
     )
     tx = make_optimizer(train_cfg)
     ema = jax.tree_util.tree_map(jnp.array, params) if train_cfg.ema_decay > 0 else None
@@ -344,6 +346,9 @@ def train_reflow(
             path, result.state, train_cfg=train_cfg,
             epoch=result.epochs_run, model="unet4",
             data=dict(data_meta),
+            # a latent teacher's student reflows in the SAME latent space:
+            # carry the VAE metadata so dispatch keeps decoding
+            **({"latent": meta["latent"]} if "latent" in meta else {}),
             flow={
                 "time_scale": time_scale, "path": "linear", "reflow": 1,
                 "coupling": {

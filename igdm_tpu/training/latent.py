@@ -261,3 +261,56 @@ def train_latent_conditional(
     if log:
         log(f"saved conditional latent DDPM to {path}")
     return res, path
+
+
+def train_latent_flow(
+    imgs: np.ndarray,
+    ae_path: str,
+    train_cfg: TrainConfig | None = None,
+    *,
+    base_ch: int = 64,
+    levels: int = 2,
+    out_dir: str = ".",
+    save_final: str = "latent_flow_model",
+    log: Callable[[str], None] | None = print,
+):
+    """Rectified flow in latent space: encode with the VAE, train the
+    velocity field on the scaled latents, keep ``flow`` + ``latent``
+    metadata so the dispatcher integrates the ODE in latent space and
+    decodes. Reflow the result with ``training.flow.train_reflow`` (the
+    latent metadata rides through) for 1-call latent serving."""
+    from igdm_tpu.checkpoint.pytree_io import save_checkpoint
+    from igdm_tpu.training.flow import TIME_SCALE, train_flow
+
+    train_cfg = train_cfg or TrainConfig()
+    ae_params, ae_meta = load_autoencoder(ae_path)
+    scale = float(ae_meta.get("scale", 1.0))
+    imgs = jnp.asarray(imgs, jnp.float32)
+    mean, _ = jax.jit(autoencoder.encode)(ae_params, imgs)
+    latents = np.asarray(mean * scale, np.float32)
+
+    res = train_flow(
+        latents, train_cfg, base_ch=base_ch, levels=levels,
+        out_dir=out_dir, save_final=None, log=log,
+    )
+    path = os.path.join(out_dir, f"{save_final}.npz")
+    save_checkpoint(
+        path, res.state, epoch=res.epochs_run, train_cfg=train_cfg,
+        model="unet4",
+        data={
+            "channels": int(latents.shape[-1]),
+            "image_size": [int(latents.shape[1]), int(latents.shape[2])],
+        },
+        flow={"time_scale": TIME_SCALE, "path": "linear"},
+        latent={
+            "ae_path": os.path.basename(str(ae_path)),
+            "ae_path_abs": os.path.abspath(str(ae_path)),
+            "scale": scale,
+            "pixel_size": [int(imgs.shape[1]), int(imgs.shape[2])],
+            "pixel_channels": int(imgs.shape[-1]),
+        },
+    )
+    res.checkpoints.append(path)
+    if log:
+        log(f"saved latent flow to {path}")
+    return res, path

@@ -247,3 +247,37 @@ def test_conditional_latent_diffusion_end_to_end(tiny_imgs, tmp_path):
         guidance_scale=6.0, ddim_steps=4,
     )
     assert not np.allclose(imgs01, imgs01b)
+
+
+def test_latent_flow_and_reflow_end_to_end(tiny_imgs, tmp_path):
+    """Flow matching in latent space + reflow of the latent teacher: both
+    dispatch as latent-flow (ODE in latent space, decode) and the reflow
+    student keeps the VAE metadata."""
+    from igdm_tpu.sampling.auto import sample_from_checkpoint
+    from igdm_tpu.training.flow import train_reflow
+    from igdm_tpu.training.latent import train_autoencoder, train_latent_flow
+
+    train_autoencoder(tiny_imgs, epochs=3, batch_size=8, base_ch=8, latent_ch=4,
+                      out_path=str(tmp_path / "ae.npz"), log=None)
+    res, ckpt = train_latent_flow(
+        tiny_imgs, str(tmp_path / "ae.npz"),
+        TrainConfig(batch_size=8, epochs=2, patience=50),
+        base_ch=8, levels=2, out_dir=str(tmp_path), log=None,
+    )
+    assert np.isfinite(res.losses).all()
+    imgs01, info = sample_from_checkpoint(
+        ckpt, jax.random.PRNGKey(0), num_images=3, ddim_steps=4)
+    assert info["sampler"] == "latent-flow-euler"
+    assert imgs01.shape == (3, 16, 16) and np.isfinite(imgs01).all()
+
+    rres = train_reflow(
+        ckpt, TrainConfig(batch_size=8, epochs=1, patience=50),
+        num_pairs=16, coupling_steps=4, out_dir=str(tmp_path),
+        save_final="latent_reflow", log=None,
+    )
+    assert np.isfinite(rres.losses).all()
+    imgs1, info1 = sample_from_checkpoint(
+        str(tmp_path / "latent_reflow.npz"), jax.random.PRNGKey(0),
+        num_images=2, ddim_steps=1)
+    assert info1["sampler"] == "latent-flow-euler" and info1["T"] == 1
+    assert imgs1.shape == (2, 16, 16) and np.isfinite(imgs1).all()
