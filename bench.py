@@ -242,6 +242,33 @@ def bench_lcm(path: str, batch: int = 256, R: int = 100):
     return _time_scan_repeat(fn, batch, R)
 
 
+def bench_latent_reflow(path: str, batch: int = 256, R: int = 100):
+    """Latent-reflow 1-call serving: one euler step in latent space + VAE
+    decode (BASELINE.md latent-flow section — the recommended 1-call
+    operating point)."""
+    from igdm_tpu.checkpoint.pytree_io import load_for_sampling
+    from igdm_tpu.models import autoencoder
+    from igdm_tpu.sampling.flow import make_flow_sampler
+    from igdm_tpu.training.latent import load_autoencoder, resolve_ae_path
+
+    params, _, meta = load_for_sampling(path, prefer_ema=True)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    ae_params, _ = load_autoencoder(resolve_ae_path(path, meta["latent"]))
+    dm = meta.get("data", {})
+    scale = float(meta["latent"].get("scale", 1.0))
+    zfn = make_flow_sampler(
+        params, num_images=batch, steps=1, method="euler",
+        time_scale=float(meta["flow"].get("time_scale", 1000.0)),
+        image_size=tuple(dm.get("image_size", (8, 8))),
+        channels=int(dm.get("channels", 4)), compute_dtype=jnp.bfloat16,
+    )
+
+    def fn(key):
+        return autoencoder.decode(ae_params, zfn(key) / scale)
+
+    return _time_scan_repeat(fn, batch, R)
+
+
 def bench_reflow(path: str, batch: int = 256, R: int = 100, steps: int = 1):
     """Reflowed rectified-flow serving throughput (1 model call/traj —
     BASELINE.md reflow table). Same in-program-repeat harness as
@@ -363,6 +390,14 @@ def main():
             record["reflow1_samples_per_sec"] = round(bench_reflow(reflow_ckpt), 1)
         except Exception as e:
             print(f"[bench] reflow bench skipped: {e}", file=sys.stderr)
+    lref_ckpt = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts", "latent_reflow_model.npz"
+    )
+    if os.path.exists(lref_ckpt):  # recommended 1-call operating point
+        try:
+            record["latent_reflow1_samples_per_sec"] = round(bench_latent_reflow(lref_ckpt), 1)
+        except Exception as e:
+            print(f"[bench] latent-reflow bench skipped: {e}", file=sys.stderr)
     lcm_ckpt = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "artifacts", "lcm_model.npz"
     )
