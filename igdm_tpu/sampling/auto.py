@@ -43,6 +43,14 @@ def _decode(ae_params, z):
     return _DECODE_JIT(ae_params, z)
 
 
+def _decode01(lmeta, ae_params, z):
+    """Shared latent epilogue: unscale, decode, clip, channel-squeeze, [0,1]."""
+    out = _decode(ae_params, z / float(lmeta.get("scale", 1.0)))
+    arr = np.clip(np.asarray(out), -1.0, 1.0)
+    pc = int(lmeta.get("pixel_channels", 1))
+    return (arr[..., 0] + 1.0) / 2.0 if pc == 1 else (arr + 1.0) / 2.0
+
+
 def sample_from_checkpoint(
     path: str,
     key,
@@ -130,23 +138,25 @@ def sample_from_checkpoint(
         channels = int(data_meta.get("channels", 1))
         image_size = tuple(data_meta.get("image_size", (32, 32)))
         method = "heun" if sampler == "heun" else "euler"
-        out = sample_flow(
-            params, key, num_images=num_images, image_size=image_size,
-            channels=channels, steps=ddim_steps, method=method,
-            time_scale=float(meta["flow"].get("time_scale", 1000.0)),
-        )
-        if "latent" in meta:  # latent flow / latent reflow: ODE endpoint
-            # is a latent (naturally unclamped) — unscale and decode
+        # `steps` (the consistency families' call-count knob) means the same
+        # thing here; honor it so the documented 1-call reflow point is
+        # reachable via either kwarg (round-4 review finding)
+        ode_steps = int(steps) if steps is not None else ddim_steps
+        lmeta = meta.get("latent")
+        ae_params = None
+        if lmeta is not None:  # resolve the VAE BEFORE paying for the solve
             from igdm_tpu.training.latent import resolve_ae_path
 
-            lmeta = meta["latent"]
             ae_params = _load_ae_cached(resolve_ae_path(path, lmeta))
-            dec = _decode(ae_params, out / float(lmeta.get("scale", 1.0)))
-            arr = np.clip(np.asarray(dec), -1.0, 1.0)
-            pc = int(lmeta.get("pixel_channels", 1))
-            imgs01 = (arr[..., 0] + 1.0) / 2.0 if pc == 1 else (arr + 1.0) / 2.0
-            return imgs01, {
-                "model": f"{model_kind}(latent-flow)", "T": ddim_steps,
+        out = sample_flow(
+            params, key, num_images=num_images, image_size=image_size,
+            channels=channels, steps=ode_steps, method=method,
+            time_scale=float(meta["flow"].get("time_scale", 1000.0)),
+        )
+        if lmeta is not None:  # latent flow / latent reflow: ODE endpoint
+            # is a latent (naturally unclamped) — unscale and decode
+            return _decode01(lmeta, ae_params, out), {
+                "model": f"{model_kind}(latent-flow)", "T": ode_steps,
                 "sampler": f"latent-flow-{method}",
             }
         arr = np.asarray(out)
@@ -155,7 +165,7 @@ def sample_from_checkpoint(
             0.0, 1.0,
         )
         return imgs01, {
-            "model": model_kind, "T": ddim_steps, "sampler": f"flow-{method}",
+            "model": model_kind, "T": ode_steps, "sampler": f"flow-{method}",
         }
 
     cfg = config_from_dict(DiffusionConfig, meta.get("diff_cfg", {}))
@@ -196,10 +206,7 @@ def sample_from_checkpoint(
             )
 
         def decode01(z):
-            out = _decode(ae_params, z / float(lmeta.get("scale", 1.0)))
-            arr = np.clip(np.asarray(out), -1.0, 1.0)
-            pc = int(lmeta.get("pixel_channels", 1))
-            return (arr[..., 0] + 1.0) / 2.0 if pc == 1 else (arr + 1.0) / 2.0
+            return _decode01(lmeta, ae_params, z)
 
         if "consistency" in meta:  # latent consistency model: 1-call + decode
             from igdm_tpu.sampling.consistency import sample_consistency

@@ -114,6 +114,7 @@ def train_flow(
     base_ch: int = 32,
     mid_attn: bool = False,
     levels: int = 4,
+    mesh=None,
     time_scale: float = TIME_SCALE,
     out_dir: str = ".",
     save_final: str | None = "flow_model",
@@ -162,6 +163,16 @@ def train_flow(
         epoch_fn if k == 1 else build_flow_epoch_fn(tx, train_cfg.batch_size, n, **kw)
     )
     imgs_dev = jnp.asarray(imgs, jnp.float32)
+    if mesh is not None:  # data parallelism, same recipe as train_ddpm
+        from igdm_tpu.parallel.sharding import replicate_tree, shard_batch
+
+        imgs_dev = shard_batch(mesh, imgs_dev)
+        state = state.replace(
+            params=replicate_tree(mesh, state.params),
+            opt_state=replicate_tree(mesh, state.opt_state),
+            ema_params=None if state.ema_params is None
+            else replicate_tree(mesh, state.ema_params),
+        )
 
     result = run_epoch_loop(
         state, (imgs_dev,), epoch_fn, epoch_fn_single, k, train_cfg,

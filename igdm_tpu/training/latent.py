@@ -125,6 +125,28 @@ def load_autoencoder(path: str):
     return jax.tree_util.tree_map(jnp.asarray, params), meta.get("ae", {})
 
 
+def _encode_dataset(ae_path: str, imgs):
+    """(VAE-encode the pixel dataset with its stored scale) -> scaled
+    latents (np.float32), scale — the shared first step of every latent
+    trainer."""
+    ae_params, ae_meta = load_autoencoder(ae_path)
+    scale = float(ae_meta.get("scale", 1.0))
+    mean, _ = jax.jit(autoencoder.encode)(ae_params, jnp.asarray(imgs, jnp.float32))
+    return np.asarray(mean * scale, np.float32), scale
+
+
+def _latent_meta(ae_path: str, imgs, scale: float) -> dict:
+    """The ``latent`` checkpoint-metadata block every latent trainer saves
+    (basename + absolute fallback — resolve_ae_path's contract)."""
+    return {
+        "ae_path": os.path.basename(str(ae_path)),
+        "ae_path_abs": os.path.abspath(str(ae_path)),
+        "scale": float(scale),
+        "pixel_size": [int(imgs.shape[1]), int(imgs.shape[2])],
+        "pixel_channels": int(imgs.shape[-1]),
+    }
+
+
 def train_latent_ddpm(
     imgs: np.ndarray,
     ae_path: str,
@@ -148,17 +170,17 @@ def train_latent_ddpm(
 
     diff_cfg = diff_cfg or DiffusionConfig()
     train_cfg = train_cfg or TrainConfig()
-    ae_params, ae_meta = load_autoencoder(ae_path)
-    scale = float(ae_meta.get("scale", 1.0))
-
     imgs = jnp.asarray(imgs, jnp.float32)
-    mean, logvar = jax.jit(autoencoder.encode)(ae_params, imgs)
     if sample_posterior:
         # one posterior draw per image: light noise augmentation in latent
         # space (between deterministic means and LDM's fresh-z-per-step)
+        ae_params, ae_meta = load_autoencoder(ae_path)
+        scale = float(ae_meta.get("scale", 1.0))
+        mean, logvar = jax.jit(autoencoder.encode)(ae_params, imgs)
         eps = jax.random.normal(jax.random.PRNGKey(0), mean.shape, jnp.float32)
-        mean = mean + jnp.exp(0.5 * logvar) * eps
-    latents = np.asarray(mean * scale, np.float32)
+        latents = np.asarray((mean + jnp.exp(0.5 * logvar) * eps) * scale, np.float32)
+    else:
+        latents, scale = _encode_dataset(ae_path, imgs)
     if log:
         log(
             f"latents: {latents.shape}, std={latents.std():.3f} "
@@ -183,15 +205,7 @@ def train_latent_ddpm(
             "channels": int(latents.shape[-1]),
             "image_size": [int(latents.shape[1]), int(latents.shape[2])],
         },
-        latent={
-            # basename keeps the pair portable: the loader looks next to the
-            # checkpoint when the recorded path is missing (resolve_ae_path)
-            "ae_path": os.path.basename(str(ae_path)),
-            "ae_path_abs": os.path.abspath(str(ae_path)),
-            "scale": scale,
-            "pixel_size": [int(imgs.shape[1]), int(imgs.shape[2])],
-            "pixel_channels": int(imgs.shape[-1]),
-        },
+        latent=_latent_meta(ae_path, imgs, scale),
     )
     res.checkpoints.append(path)
     if log:
@@ -227,12 +241,8 @@ def train_latent_conditional(
 
     diff_cfg = diff_cfg or DiffusionConfig()
     train_cfg = train_cfg or TrainConfig()
-    ae_params, ae_meta = load_autoencoder(ae_path)
-    scale = float(ae_meta.get("scale", 1.0))
-
     imgs = jnp.asarray(imgs, jnp.float32)
-    mean, _ = jax.jit(autoencoder.encode)(ae_params, imgs)
-    latents = np.asarray(mean * scale, np.float32)
+    latents, scale = _encode_dataset(ae_path, imgs)
 
     train_cfg = dataclasses.replace(train_cfg, checkpoint_every=0)
     res = train_conditional_ddpm(
@@ -249,13 +259,7 @@ def train_latent_conditional(
             "image_size": [int(latents.shape[1]), int(latents.shape[2])],
         },
         conditional={"num_classes": int(num_classes), "drop_prob": float(drop_prob)},
-        latent={
-            "ae_path": os.path.basename(str(ae_path)),
-            "ae_path_abs": os.path.abspath(str(ae_path)),
-            "scale": scale,
-            "pixel_size": [int(imgs.shape[1]), int(imgs.shape[2])],
-            "pixel_channels": int(imgs.shape[-1]),
-        },
+        latent=_latent_meta(ae_path, imgs, scale),
     )
     res.checkpoints.append(path)
     if log:
@@ -270,6 +274,7 @@ def train_latent_flow(
     *,
     base_ch: int = 64,
     levels: int = 2,
+    mesh=None,
     out_dir: str = ".",
     save_final: str = "latent_flow_model",
     log: Callable[[str], None] | None = print,
@@ -283,14 +288,11 @@ def train_latent_flow(
     from igdm_tpu.training.flow import TIME_SCALE, train_flow
 
     train_cfg = train_cfg or TrainConfig()
-    ae_params, ae_meta = load_autoencoder(ae_path)
-    scale = float(ae_meta.get("scale", 1.0))
     imgs = jnp.asarray(imgs, jnp.float32)
-    mean, _ = jax.jit(autoencoder.encode)(ae_params, imgs)
-    latents = np.asarray(mean * scale, np.float32)
+    latents, scale = _encode_dataset(ae_path, imgs)
 
     res = train_flow(
-        latents, train_cfg, base_ch=base_ch, levels=levels,
+        latents, train_cfg, base_ch=base_ch, levels=levels, mesh=mesh,
         out_dir=out_dir, save_final=None, log=log,
     )
     path = os.path.join(out_dir, f"{save_final}.npz")
@@ -302,13 +304,8 @@ def train_latent_flow(
             "image_size": [int(latents.shape[1]), int(latents.shape[2])],
         },
         flow={"time_scale": TIME_SCALE, "path": "linear"},
-        latent={
-            "ae_path": os.path.basename(str(ae_path)),
-            "ae_path_abs": os.path.abspath(str(ae_path)),
-            "scale": scale,
-            "pixel_size": [int(imgs.shape[1]), int(imgs.shape[2])],
-            "pixel_channels": int(imgs.shape[-1]),
-        },
+        latent=_latent_meta(ae_path, imgs, scale),
+        losses=res.losses,
     )
     res.checkpoints.append(path)
     if log:

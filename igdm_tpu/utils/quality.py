@@ -86,14 +86,17 @@ def evaluate_guided_purity(
     guided sample per requested label; labels cycle over the classes."""
     import jax
 
-    num_classes = int(np.max(dataset_labels)) + 1
+    # cycle over the classes that actually EXIST in the dataset — max+1
+    # would request empty classes (guaranteed-zero purity) and misstate
+    # the chance baseline for non-contiguous label sets
+    classes = np.unique(np.asarray(dataset_labels))
     per_seed = []
     for s in seeds:
         key = jax.random.PRNGKey(s)
         chunks, wants, done, i = [], [], 0, 0
         while done < n_samples:
             n = min(batch, n_samples - done)
-            want = (np.arange(done, done + n) % num_classes).astype(np.int32)
+            want = classes[np.arange(done, done + n) % len(classes)].astype(np.int32)
             chunks.append(np.asarray(sample_fn(jax.random.fold_in(key, i), want)))
             wants.append(want)
             done += n
@@ -105,7 +108,7 @@ def evaluate_guided_purity(
     return {
         "mean": float(vals.mean()), "std": float(vals.std()),
         "per_seed": [float(v) for v in per_seed],
-        "chance": 1.0 / num_classes, "n_samples": int(n_samples),
+        "chance": 1.0 / len(classes), "n_samples": int(n_samples),
     }
 
 

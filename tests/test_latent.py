@@ -281,3 +281,25 @@ def test_latent_flow_and_reflow_end_to_end(tiny_imgs, tmp_path):
         num_images=2, ddim_steps=1)
     assert info1["sampler"] == "latent-flow-euler" and info1["T"] == 1
     assert imgs1.shape == (2, 16, 16) and np.isfinite(imgs1).all()
+
+
+def test_latent_flow_steps_kwarg_reaches_ode(tiny_imgs, tmp_path):
+    """`steps=1` (the consistency families' knob) selects a 1-step ODE for
+    flow checkpoints too — the documented 1-call reflow operating point
+    must be reachable via either kwarg (round-4 review)."""
+    from igdm_tpu.sampling.auto import sample_from_checkpoint
+    from igdm_tpu.training.latent import train_autoencoder, train_latent_flow
+
+    train_autoencoder(tiny_imgs, epochs=2, batch_size=8, base_ch=8, latent_ch=4,
+                      out_path=str(tmp_path / "ae.npz"), log=None)
+    _, ckpt = train_latent_flow(
+        tiny_imgs, str(tmp_path / "ae.npz"),
+        TrainConfig(batch_size=8, epochs=1, patience=50),
+        base_ch=8, levels=2, out_dir=str(tmp_path), log=None,
+    )
+    _, info = sample_from_checkpoint(ckpt, jax.random.PRNGKey(0),
+                                     num_images=2, steps=1)
+    assert info["T"] == 1
+    _, info2 = sample_from_checkpoint(ckpt, jax.random.PRNGKey(0),
+                                      num_images=2, ddim_steps=3)
+    assert info2["T"] == 3

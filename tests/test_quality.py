@@ -151,3 +151,27 @@ def test_guided_purity_protocol():
     rep_b = evaluate_guided_purity(blind_fn, data, labels, n_samples=24,
                                    seeds=(0, 1), batch=12)
     assert rep_b["mean"] < 0.6
+
+
+def test_guided_purity_non_contiguous_labels():
+    """Label sets like {1,2,4} must cycle only over EXISTING classes and
+    report chance = 1/3 (round-4 review: max+1 requested empty classes)."""
+    import jax
+
+    from igdm_tpu.utils.quality import evaluate_guided_purity
+
+    rng = np.random.default_rng(0)
+    labels = np.array([1, 2, 4] * 10)
+    data = rng.uniform(0, 1, (30, 8, 8)).astype(np.float32) + labels[:, None, None] * 2.0
+
+    seen_wants = []
+
+    def fn(key, want):
+        seen_wants.append(np.asarray(want))
+        idx = np.array([np.where(labels == w)[0][0] for w in want])
+        return data[idx]
+
+    rep = evaluate_guided_purity(fn, data, labels, n_samples=12, seeds=(0,), batch=6)
+    assert rep["chance"] == pytest.approx(1.0 / 3.0)
+    assert set(np.concatenate(seen_wants).tolist()) == {1, 2, 4}
+    assert rep["mean"] > 0.95
