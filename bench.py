@@ -179,41 +179,43 @@ def bench_distilled(path: str, batch: int = 256, R: int = 20):
     return _time_scan_repeat(fn, batch, R), len(grid) - 1
 
 
-def bench_latent(path: str, batch: int = 256, R: int = 20):
+def bench_latent(path: str, batch: int = 1024, R: int = 8):
     """Latent-diffusion serving throughput: full T=500 ancestral trajectory
     in the 8x8x4 latent space + VAE decode (BASELINE.md round-4 latent
-    section). Same in-program-repeat harness as bench_distilled."""
+    section). Round-5 serving config (measured sweep, BASELINE.md latent
+    roofline): make_latent_sampler (decode fused into the trajectory
+    program), f32 compute — bf16 is a measured NEGATIVE at 8x8 latent conv
+    shapes (-6.6%) — and batch 1024 (the sweep's optimum; 256 -> 2530,
+    1024 -> 2656, 4096 -> 2305 samples/s). Same in-program-repeat harness
+    as bench_distilled."""
     from igdm_tpu.checkpoint.pytree_io import load_for_sampling
     from igdm_tpu.config import DiffusionConfig, config_from_dict
-    from igdm_tpu.sampling.latent import sample_latent
-    from igdm_tpu.training.latent import load_autoencoder
+    from igdm_tpu.sampling.latent import make_latent_sampler
+    from igdm_tpu.training.latent import load_autoencoder, resolve_ae_path
 
     params, state, meta = load_for_sampling(path, prefer_ema=True)
     params = jax.tree_util.tree_map(jnp.asarray, params)
-    from igdm_tpu.training.latent import resolve_ae_path
-
     lmeta = meta["latent"]
     ae_params, _ = load_autoencoder(resolve_ae_path(path, lmeta))
     cfg = config_from_dict(DiffusionConfig, meta.get("diff_cfg", {}))
     dm = meta.get("data", {})
-    latent_size = tuple(dm.get("image_size", (8, 8)))
-    latent_ch = int(dm.get("channels", 4))
-    scale = float(lmeta.get("scale", 1.0))
-
-    def fn(key):
-        return sample_latent(
-            params, ae_params, key, cfg=cfg, scale=scale, num_images=batch,
-            latent_size=latent_size, latent_ch=latent_ch, method="ancestral",
-            model_state=state,
-        )
+    fn = make_latent_sampler(
+        params, ae_params, cfg=cfg, scale=float(lmeta.get("scale", 1.0)),
+        num_images=batch, latent_size=tuple(dm.get("image_size", (8, 8))),
+        latent_ch=int(dm.get("channels", 4)), method="ancestral",
+        model_state=state, compute_dtype=None,
+    )
 
     return _time_scan_repeat(fn, batch, R)
 
 
-def bench_lcm(path: str, batch: int = 256, R: int = 100):
+def bench_lcm(path: str, batch: int = 1024, R: int = 50):
     """Latent-consistency-model serving: ONE student call in latent space +
     VAE decode per batch (BASELINE.md LCM section) — the framework's
-    fastest operating point. Same in-program-repeat harness."""
+    fastest operating point. Round-5 config: batch 1024 + bf16 decode
+    (the 1-call batch sweep's optimum — the decoder's 32x32 conv is the
+    biggest single op and runs 2x at bf16 there; BASELINE.md latent
+    roofline). Same in-program-repeat harness."""
     from igdm_tpu.checkpoint.pytree_io import load_for_sampling
     from igdm_tpu.config import DiffusionConfig, config_from_dict
     from igdm_tpu.models import autoencoder
@@ -237,15 +239,20 @@ def bench_lcm(path: str, batch: int = 256, R: int = 100):
     )
 
     def fn(key):
-        return autoencoder.decode(ae_params, zfn(key) / scale)
+        # decode traces into the same jitted repeat-program as the student
+        # call (bf16 decoder convs — the round-5 fused serving epilogue)
+        return autoencoder.decode(
+            ae_params, zfn(key) / scale, compute_dtype=jnp.bfloat16
+        )
 
     return _time_scan_repeat(fn, batch, R)
 
 
-def bench_latent_reflow(path: str, batch: int = 256, R: int = 100):
+def bench_latent_reflow(path: str, batch: int = 1024, R: int = 50):
     """Latent-reflow 1-call serving: one euler step in latent space + VAE
     decode (BASELINE.md latent-flow section — the recommended 1-call
-    operating point)."""
+    operating point). Round-5 config: batch 1024 + bf16 decode (measured
+    +15% and +11% respectively; BASELINE.md latent roofline)."""
     from igdm_tpu.checkpoint.pytree_io import load_for_sampling
     from igdm_tpu.models import autoencoder
     from igdm_tpu.sampling.flow import make_flow_sampler
@@ -264,7 +271,9 @@ def bench_latent_reflow(path: str, batch: int = 256, R: int = 100):
     )
 
     def fn(key):
-        return autoencoder.decode(ae_params, zfn(key) / scale)
+        return autoencoder.decode(
+            ae_params, zfn(key) / scale, compute_dtype=jnp.bfloat16
+        )
 
     return _time_scan_repeat(fn, batch, R)
 

@@ -69,9 +69,19 @@ def init(key, *, in_channels: int = 1, base_ch: int = 32, latent_ch: int = 4,
     return {"enc": enc, "dec": dec}
 
 
-def _block(p, cn, gn, x, *, groups=8):
-    h = conv2d(x, p[cn]["w"], p[cn]["b"])
+def _block(p, cn, gn, x, *, groups=8, compute_dtype=None):
+    h = _conv_cd(p[cn], x, compute_dtype)
     return silu(group_norm(h, p[gn]["scale"], p[gn]["bias"], groups=groups))
+
+
+def _conv_cd(cp, x, compute_dtype):
+    """conv2d with optional bf16 compute (f32 accumulation via the bias add
+    and the f32 GroupNorm statistics downstream — the serving mixed-precision
+    recipe shared with models/unet_small.apply_folded)."""
+    if compute_dtype is None:
+        return conv2d(x, cp["w"], cp["b"])
+    h = conv2d(x.astype(compute_dtype), cp["w"].astype(compute_dtype))
+    return h.astype(jnp.float32) + cp["b"].reshape(1, 1, 1, -1)
 
 
 def _depth(half: dict, prefix: str) -> int:
@@ -91,15 +101,19 @@ def encode(params, x):
     return mean, jnp.clip(logvar, -20.0, 10.0)
 
 
-def decode(params, z):
+def decode(params, z, *, compute_dtype=None):
     """(B, H/2^d, W/2^d, latent_ch) -> (B, H, W, C) reconstruction (linear
-    head; the data is [-1, 1]-ranged but unclamped, matching the samplers)."""
+    head; the data is [-1, 1]-ranged but unclamped, matching the samplers).
+
+    compute_dtype: jnp.bfloat16 runs the decoder convs at the MXU bf16 rate
+    (serving path — outputs differ from f32 only by bf16 rounding; GroupNorm
+    statistics stay f32)."""
     d = params["dec"]
-    h = _block(d, "conv1", "gn1", z)
+    h = _block(d, "conv1", "gn1", z, compute_dtype=compute_dtype)
     for i in range(_depth(d, "up")):
         h = upsample_bilinear_2x(h)
-        h = _block(d, f"up{i + 1}", f"ugn{i + 1}", h)
-    return conv2d(h, d["head"]["w"], d["head"]["b"])
+        h = _block(d, f"up{i + 1}", f"ugn{i + 1}", h, compute_dtype=compute_dtype)
+    return _conv_cd(d["head"], h, compute_dtype)
 
 
 def vae_loss(params, x, key, *, kl_weight: float = 1e-4):

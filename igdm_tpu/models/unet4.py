@@ -255,9 +255,11 @@ def apply(
         if "attn" in params[name]:
             from igdm_tpu.ops.attention import spatial_self_attention
 
-            # head_dim pinned to 64 (ADM convention): full-lane MXU tiles in
-            # the flash kernel at any level width (heads=4 would give hd=16
-            # at C=64 — 12.5% lane utilization)
+            # heads = C//64 targets head_dim 64 (ADM convention; full-lane
+            # MXU tiles in the flash kernel). Exact only when C is a
+            # multiple of 64 — e.g. C=96 yields one 96-dim head. The policy
+            # is part of trained checkpoints' math and must not change
+            # (the committed flagship was trained with it).
             h = spatial_self_attention(
                 params[name]["attn"], h, heads=max(1, h.shape[-1] // 64)
             )

@@ -11,10 +11,11 @@ from igdm_tpu.sampling.consistency import sample_consistency
 from igdm_tpu.sampling.edit import sample_inpaint
 from igdm_tpu.sampling.flow import sample_flow
 from igdm_tpu.sampling.guided import sample_cfg
-from igdm_tpu.sampling.latent import sample_latent
+from igdm_tpu.sampling.latent import make_latent_sampler, sample_latent
 from igdm_tpu.sampling.superres import sample_superres
 
 __all__ = [
+    "make_latent_sampler",
     "sample_cfg",
     "sample_consistency",
     "sample_ddpm",

@@ -12,26 +12,50 @@ import numpy as np
 
 from igdm_tpu.config import DiffusionConfig, config_from_dict
 
-# single-slot checkpoint cache keyed (abspath, mtime, prefer_ema): repeated
+# small-LRU checkpoint cache keyed (abspath, mtime, prefer_ema): repeated
 # sampling from one checkpoint (the igdm-quality protocol draws many chunks)
-# must not re-read + re-upload the file per chunk (round-4 review finding)
+# must not re-read + re-upload the file per chunk (round-4 review finding).
+# 4 slots so alternating between a few checkpoints (e.g. a latent model and
+# its teacher in a comparison loop) doesn't thrash re-reads/re-uploads, and
+# long-lived processes don't pin unbounded device memory (round-4 advisor).
+_CACHE_SLOTS = 4
 _LOAD_CACHE: dict = {}
-# same idea for the latent family's VAE + its jitted decoder: one slot,
-# keyed by the resolved autoencoder path's mtime
+# same idea for the latent family's VAE + its jitted decoder, keyed by the
+# resolved autoencoder path's mtime
 _AE_CACHE: dict = {}
 _DECODE_JIT = None
+
+
+def _lru_get(cache: dict, key, build):
+    """Tiny insertion-ordered LRU over a plain dict (py3.7+ dict ordering)."""
+    if key in cache:
+        cache[key] = cache.pop(key)  # mark most-recent
+        return cache[key]
+    val = build()
+    cache[key] = val
+    while len(cache) > _CACHE_SLOTS:
+        cache.pop(next(iter(cache)))  # evict least-recent; device refs drop
+    return val
+
+
+def clear_caches():
+    """Release every cached checkpoint/VAE device buffer (long-lived server
+    processes call this to free HBM between model swaps)."""
+    _LOAD_CACHE.clear()
+    _AE_CACHE.clear()
 
 
 def _load_ae_cached(ae_path: str):
     import os as _os
 
     key = (ae_path, _os.path.getmtime(ae_path))
-    if _AE_CACHE.get("key") != key:
+
+    def build():
         from igdm_tpu.training.latent import load_autoencoder
 
-        _AE_CACHE["key"] = key
-        _AE_CACHE["value"] = load_autoencoder(ae_path)[0]
-    return _AE_CACHE["value"]
+        return load_autoencoder(ae_path)[0]
+
+    return _lru_get(_AE_CACHE, key, build)
 
 
 def _decode(ae_params, z):
@@ -101,14 +125,16 @@ def sample_from_checkpoint(
 
     _ap = _os.path.abspath(str(path))
     _ck = (_ap, _os.path.getmtime(_ap), prefer_ema)
-    if _LOAD_CACHE.get("key") == _ck:
-        params, state, meta = _LOAD_CACHE["value"]
-    else:
-        params, state, meta = load_for_sampling(str(path), prefer_ema=prefer_ema)
-        params = jax.tree_util.tree_map(jnp.asarray, params)
-        state = jax.tree_util.tree_map(jnp.asarray, state)
-        _LOAD_CACHE["key"] = _ck
-        _LOAD_CACHE["value"] = (params, state, meta)
+
+    def _build():
+        p, s, m = load_for_sampling(str(path), prefer_ema=prefer_ema)
+        return (
+            jax.tree_util.tree_map(jnp.asarray, p),
+            jax.tree_util.tree_map(jnp.asarray, s),
+            m,
+        )
+
+    params, state, meta = _lru_get(_LOAD_CACHE, _ck, _build)
     model_kind = meta.get("model", "unet_small")
 
     if "modern_cfg" in meta:  # gen-3 recipe: sample with its training schedule

@@ -94,6 +94,65 @@ def test_latent_ddpm_end_to_end_and_dispatch(tiny_imgs, tmp_path):
     assert imgs01b.shape == (2, 16, 16)
 
 
+def test_make_latent_sampler_matches_sample_latent():
+    """The baked serving sampler (weights as XLA constants, decode fused
+    into the trajectory program) matches the argument-passing f32 path to
+    within XLA refusion rounding (~1e-6 — constant-folding changes fusion
+    order, same property the pixel make_sampler has), and the bf16 serving
+    config stays within bf16 rounding of it."""
+    from igdm_tpu.models import autoencoder, unet4
+    from igdm_tpu.sampling.latent import make_latent_sampler, sample_latent
+
+    cfg = DiffusionConfig(num_steps=6)
+    dp = unet4.init(jax.random.PRNGKey(0), in_channels=4, base_ch=8, levels=2)
+    ae = autoencoder.init(jax.random.PRNGKey(1), base_ch=8, latent_ch=4)
+    key = jax.random.PRNGKey(2)
+
+    for method in ("ancestral", "ddim"):
+        ref = sample_latent(
+            dp, ae, key, cfg=cfg, scale=2.0, num_images=2, latent_size=(4, 4),
+            method=method, num_sample_steps=4,
+        )
+        fn = make_latent_sampler(
+            dp, ae, cfg=cfg, scale=2.0, num_images=2, latent_size=(4, 4),
+            method=method, num_sample_steps=4, compute_dtype=None,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fn(key)), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    ref = np.asarray(sample_latent(
+        dp, ae, key, cfg=cfg, scale=2.0, num_images=2, latent_size=(4, 4),
+        method="ancestral",
+    ))
+    fn16 = make_latent_sampler(
+        dp, ae, cfg=cfg, scale=2.0, num_images=2, latent_size=(4, 4),
+        method="ancestral", compute_dtype=jnp.bfloat16,
+    )
+    out16 = np.asarray(fn16(key))
+    assert out16.shape == ref.shape and np.isfinite(out16).all()
+    scale_mag = np.max(np.abs(ref)) + 1e-6
+    assert np.max(np.abs(out16 - ref)) / scale_mag < 0.05
+
+
+def test_sample_latent_decode_requires_scale():
+    """decode=True without the checkpoint's LDM scale_factor must hard-fail
+    (a silent 1.0 default decoded mis-scaled latents — round-4 advisor)."""
+    from igdm_tpu.models import autoencoder, unet4
+    from igdm_tpu.sampling.latent import sample_latent
+
+    dp = unet4.init(jax.random.PRNGKey(0), in_channels=4, base_ch=8, levels=2)
+    ae = autoencoder.init(jax.random.PRNGKey(1), base_ch=8, latent_ch=4)
+    with pytest.raises(ValueError, match="scale"):
+        sample_latent(dp, ae, jax.random.PRNGKey(2), num_images=1,
+                      latent_size=(4, 4))
+    # decode=False stays scale-free (the dispatcher's contract)
+    z = sample_latent(dp, ae, jax.random.PRNGKey(2), num_images=1,
+                      latent_size=(4, 4), decode=False,
+                      cfg=DiffusionConfig(num_steps=4), num_sample_steps=2)
+    assert z.shape == (1, 4, 4, 4)
+
+
 def test_latent_sampler_is_clip_free():
     """The latent scan must NOT clamp x0 to [-1,1]: with a zero-eps model
     and large-magnitude init, DDIM's x0 estimate is x_T/sqrt(ab_T) —
