@@ -77,7 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--ae", default=None,
         help="--model latent: pre-trained autoencoder checkpoint (default: "
-        "train one first and save ae_model.npz in --out-dir)",
+        "train one first and save ae_model.npz in --out-dir). --model flow: "
+        "train LATENT flow matching on this autoencoder's latents (the "
+        "recommended serving stack's teacher — reflow it with --model "
+        "reflow --teacher for 1-call latent serving); if the path does not "
+        "exist, the autoencoder is trained first and saved there",
     )
     p.add_argument(
         "--ae-epochs", type=int, default=200,
@@ -99,6 +103,15 @@ def build_parser() -> argparse.ArgumentParser:
         "BASELINE.md latent sweep measured 1e-4 -> near-memorization, "
         "1e-2 -> balanced, on the 500-image set)",
     )
+    p.add_argument(
+        "--holdout", type=int, default=0,
+        help="hold out N images from training (deterministic split, "
+        "utils/quality.holdout_split) — the generalization protocol: score "
+        "the result with igdm-quality --holdout N to compare fidelity "
+        "against seen vs unseen data",
+    )
+    p.add_argument("--holdout-seed", type=int, default=0,
+                   help="split seed for --holdout (must match at scoring)")
     p.add_argument("--cifar", default=None, help="CIFAR-10 batches dir (stretch config)")
     p.add_argument("--grayscale", action="store_true", help="convert CIFAR to 1 channel")
     p.add_argument(
@@ -155,6 +168,13 @@ def main(argv=None) -> int:
         from igdm_tpu.data.cifar import upscale_2x
 
         imgs = upscale_2x(imgs)
+    if args.holdout:
+        from igdm_tpu.utils.quality import holdout_split
+
+        tr_idx, _ = holdout_split(len(imgs), args.holdout, args.holdout_seed)
+        imgs = imgs[tr_idx]
+        print(f"holdout split: training on {len(imgs)} images "
+              f"({args.holdout} held out, seed {args.holdout_seed})")
     metrics = MetricsLogger(args.metrics, echo=False)
 
     if args.model == "mlp":
@@ -192,10 +212,29 @@ def main(argv=None) -> int:
             epochs_per_dispatch=args.epochs_per_dispatch,
             compute_dtype=args.compute_dtype,
         )
-        res = train_flow(
-            normalize_pm1(imgs), train_cfg, base_ch=args.base_ch or 32,
-            mid_attn=args.mid_attn, out_dir=args.out_dir, log=print,
-        )
+        if args.ae:
+            # latent flow matching: the recommended serving stack's teacher
+            # (train_reflow keeps the latent metadata, so --model reflow
+            # --teacher latent_flow_model.npz completes the stack CLI-only)
+            from igdm_tpu.training.latent import train_autoencoder, train_latent_flow
+
+            imgs_pm1 = normalize_pm1(imgs)
+            if not os.path.isfile(args.ae):
+                train_autoencoder(
+                    imgs_pm1, epochs=args.ae_epochs,
+                    batch_size=args.batch_size or 64, latent_ch=args.latent_ch,
+                    kl_weight=args.kl_weight, seed=args.seed,
+                    out_path=args.ae, log=print,
+                )
+            res, _ = train_latent_flow(
+                imgs_pm1, args.ae, train_cfg, base_ch=args.base_ch or 64,
+                out_dir=args.out_dir, log=print,
+            )
+        else:
+            res = train_flow(
+                normalize_pm1(imgs), train_cfg, base_ch=args.base_ch or 32,
+                mid_attn=args.mid_attn, out_dir=args.out_dir, log=print,
+            )
         for i, l in enumerate(res.losses):
             metrics.log(i + 1, loss=l)
         losses = res.losses

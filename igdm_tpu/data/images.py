@@ -76,8 +76,12 @@ def save_image_heatmap(img01: np.ndarray, path: str, title: str | None = None) -
     return path
 
 
-def save_sample_grid(samples: np.ndarray, path: str, title: str | None = None) -> str:
-    """ceil(sqrt(n)) grid of grayscale samples, one PNG.
+def save_sample_grid(
+    samples: np.ndarray, path: str, title: str | None = None,
+    ncols: int | None = None,
+) -> str:
+    """ceil(sqrt(n)) grid of grayscale samples (or a fixed ``ncols``-wide
+    grid — the nearest-neighbor panels use paired rows), one PNG.
 
     Reference: last_desperate_attempt/src/sample.jl:177-202.
     """
@@ -93,7 +97,7 @@ def save_sample_grid(samples: np.ndarray, path: str, title: str | None = None) -
     if imgs.ndim == 4 and imgs.shape[-1] == 1:
         imgs = imgs[..., 0]
     n = imgs.shape[0]
-    cols = math.ceil(math.sqrt(n))
+    cols = ncols if ncols else math.ceil(math.sqrt(n))
     rows = math.ceil(n / cols)
     fig, axes = plt.subplots(rows, cols, figsize=(cols * 1.5, rows * 1.5))
     axes = np.atleast_1d(axes).ravel()

@@ -153,6 +153,108 @@ def evaluate_sampler(
     return report
 
 
+def holdout_split(n: int, n_holdout: int = 50, seed: int = 0):
+    """Deterministic (train_idx, holdout_idx) permutation split of range(n).
+
+    The generalization protocol's contract: train a model on
+    ``dataset[train_idx]`` only, then score its samples against BOTH splits
+    (``evaluate_generalization``). Same (n, n_holdout, seed) always yields
+    the same split, so the training CLI and the scoring CLI agree without
+    sharing state."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    return np.sort(perm[n_holdout:]), np.sort(perm[:n_holdout])
+
+
+def evaluate_generalization(
+    sample_fn,
+    dataset: np.ndarray,
+    *,
+    n_holdout: int = 50,
+    split_seed: int = 0,
+    n_samples: int = 512,
+    seeds=(0, 1, 2),
+    batch: int = 256,
+) -> dict:
+    """Memorization-vs-generalization report for a model TRAINED ON THE
+    TRAIN SPLIT of ``holdout_split`` (round-4 VERDICT task 4).
+
+    Reports, per seed and mean±std across seeds:
+
+    * ``train.nn_mse`` / ``holdout.nn_mse`` — sample fidelity vs the split
+      the model saw and the split it never saw;
+    * ``gap`` = holdout.nn_mse − train.nn_mse — a pure copier's gap is
+      large (samples sit on train images), a generalizer's is small;
+    * ``data_floor`` — nn_mse of the REAL holdout images to the train
+      split: how close a genuinely novel in-distribution image sits to the
+      train set. ``train.nn_mse`` well BELOW this floor means the model is
+      closer to its training images than fresh data ever is — the
+      quantitative memorization signature; at or above it means the model
+      emits novel in-distribution content.
+    """
+    import jax
+
+    tr_idx, ho_idx = holdout_split(dataset.shape[0], n_holdout, split_seed)
+    train_set, holdout_set = dataset[tr_idx], dataset[ho_idx]
+    d_floor = nn_mse(holdout_set, train_set)
+
+    per_seed = []
+    for s in seeds:
+        key = jax.random.PRNGKey(s)
+        chunks, done, i = [], 0, 0
+        while done < n_samples:
+            n = min(batch, n_samples - done)
+            chunks.append(np.asarray(sample_fn(jax.random.fold_in(key, i), n)))
+            done += n
+            i += 1
+        samples = np.concatenate(chunks)
+        row = {
+            "train": evaluate_samples(samples, train_set),
+            "holdout": evaluate_samples(samples, holdout_set),
+        }
+        row["gap"] = row["holdout"]["nn_mse"] - row["train"]["nn_mse"]
+        per_seed.append(row)
+
+    report = {
+        "n_samples": int(n_samples),
+        "seeds": [int(s) for s in seeds],
+        "n_holdout": int(n_holdout),
+        "split_seed": int(split_seed),
+        "data_floor": float(d_floor),
+        "per_seed": per_seed,
+    }
+    for split in ("train", "holdout"):
+        for m in METRICS:
+            vals = np.asarray([p[split][m] for p in per_seed], np.float64)
+            report[f"{split}_{m}"] = {"mean": float(vals.mean()), "std": float(vals.std())}
+    gaps = np.asarray([p["gap"] for p in per_seed], np.float64)
+    report["gap"] = {"mean": float(gaps.mean()), "std": float(gaps.std())}
+    return report
+
+
+def nn_panel(samples: np.ndarray, dataset: np.ndarray, out_path: str, k: int = 16):
+    """Save a visual nearest-neighbor panel: the k samples CLOSEST to any
+    dataset image (the most memorization-suspicious ones), each next to its
+    nearest neighbor — sample rows above, neighbor rows below. The eyeball
+    check behind the holdout numbers."""
+    from igdm_tpu.data.images import save_sample_grid
+
+    d = np.asarray(_sq_dists(samples, dataset))
+    best = d.min(axis=1)
+    order = np.argsort(best)[:k]
+    nn = d.argmin(axis=1)[order]
+    # layout: a row of samples above the row of their neighbors, repeated
+    ncols = 8
+    tiles = []
+    for r0 in range(0, len(order), ncols):
+        chunk = order[r0:r0 + ncols]
+        tiles.extend(np.asarray(samples[i]) for i in chunk)
+        tiles.extend(np.asarray(dataset[j]) for j in nn[r0:r0 + ncols])
+    save_sample_grid(np.stack(tiles), out_path, ncols=ncols,
+                     title="samples (upper rows) vs nearest train image (lower)")
+    return [(int(i), int(j), float(best[i])) for i, j in zip(order, nn)]
+
+
 def _main(argv=None) -> int:
     """CLI: score a checkpoint with the error-bar protocol.
 
@@ -173,6 +275,18 @@ def _main(argv=None) -> int:
     p.add_argument("--sampler", default="auto")
     p.add_argument("--ddim-steps", type=int, default=50)
     p.add_argument("--ema", action="store_true")
+    p.add_argument(
+        "--holdout", type=int, default=0,
+        help="generalization protocol: score vs the train/holdout split of "
+        "holdout_split(n, N, --holdout-seed) — the checkpoint must have "
+        "been trained with igdm-train --holdout N (same seed)",
+    )
+    p.add_argument("--holdout-seed", type=int, default=0)
+    p.add_argument(
+        "--panel", default=None, metavar="PNG",
+        help="also save a nearest-neighbor panel (the 16 most train-similar "
+        "samples next to their nearest train image)",
+    )
     args = p.parse_args(argv)
 
     import jax as _jax
@@ -204,10 +318,25 @@ def _main(argv=None) -> int:
                 f"pass --data with a matching dataset"
             )
 
-    rep = evaluate_sampler(
-        sample_fn, d01, n_samples=args.n_samples, seeds=tuple(args.seeds),
-        batch=args.batch,
-    )
+    if args.holdout:
+        rep = evaluate_generalization(
+            sample_fn, d01, n_holdout=args.holdout, split_seed=args.holdout_seed,
+            n_samples=args.n_samples, seeds=tuple(args.seeds), batch=args.batch,
+        )
+    else:
+        rep = evaluate_sampler(
+            sample_fn, d01, n_samples=args.n_samples, seeds=tuple(args.seeds),
+            batch=args.batch,
+        )
+    if args.panel:
+        ref = d01
+        if args.holdout:
+            ref = d01[holdout_split(d01.shape[0], args.holdout, args.holdout_seed)[0]]
+        samples = sample_fn(_jax.random.PRNGKey(args.seeds[0]), min(256, args.n_samples))
+        rep["panel"] = {
+            "path": args.panel,
+            "pairs": nn_panel(np.asarray(samples), ref, args.panel),
+        }
     print(json.dumps(rep, indent=1))
     return 0
 

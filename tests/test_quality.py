@@ -175,3 +175,68 @@ def test_guided_purity_non_contiguous_labels():
     assert rep["chance"] == pytest.approx(1.0 / 3.0)
     assert set(np.concatenate(seen_wants).tolist()) == {1, 2, 4}
     assert rep["mean"] > 0.95
+
+
+def test_holdout_split_deterministic_partition():
+    from igdm_tpu.utils.quality import holdout_split
+
+    tr, ho = holdout_split(500, 50, seed=0)
+    tr2, ho2 = holdout_split(500, 50, seed=0)
+    np.testing.assert_array_equal(tr, tr2)
+    np.testing.assert_array_equal(ho, ho2)
+    assert len(tr) == 450 and len(ho) == 50
+    assert len(np.intersect1d(tr, ho)) == 0
+    assert len(np.union1d(tr, ho)) == 500
+    tr3, _ = holdout_split(500, 50, seed=1)
+    assert not np.array_equal(tr, tr3)
+
+
+def test_evaluate_generalization_separates_copier_from_generalizer():
+    """A sampler that replays TRAIN images shows nn_mse(train) far below the
+    data floor and a large holdout gap; a sampler drawing fresh
+    in-distribution data sits at the floor with a small gap — the
+    quantitative memorization signature the protocol exists to detect."""
+    import jax
+
+    from igdm_tpu.utils.quality import evaluate_generalization, holdout_split
+
+    rng = np.random.default_rng(0)
+    # low-dim structured data so in-distribution neighbors are close
+    basis = rng.normal(0, 1, (3, 8, 8)).astype(np.float32)
+    coef = rng.normal(0, 1, (120, 3)).astype(np.float32)
+    data = np.tensordot(coef, basis, axes=1)
+    tr_idx, _ = holdout_split(120, 20, 0)
+    train_set = data[tr_idx]
+
+    def copier(key, n):
+        return train_set[rng.integers(0, len(train_set), n)]
+
+    def generalizer(key, n):
+        c = rng.normal(0, 1, (n, 3)).astype(np.float32)
+        return np.tensordot(c, basis, axes=1)
+
+    rep_c = evaluate_generalization(copier, data, n_holdout=20, n_samples=32,
+                                    seeds=(0, 1), batch=16)
+    rep_g = evaluate_generalization(generalizer, data, n_holdout=20,
+                                    n_samples=32, seeds=(0, 1), batch=16)
+    floor = rep_c["data_floor"]
+    assert rep_c["train_nn_mse"]["mean"] < 0.1 * floor          # copier: on train
+    # gap alone is inflated for everyone (20 holdout candidates vs 100 train
+    # ones); the copier's is still clearly larger
+    assert rep_c["gap"]["mean"] > 1.5 * rep_g["gap"]["mean"]
+    assert rep_g["train_nn_mse"]["mean"] > 0.3 * floor          # generalizer: near floor
+    assert rep_c["data_floor"] == rep_g["data_floor"] > 0.0
+
+
+def test_nn_panel_writes_png(tmp_path):
+    from igdm_tpu.utils.quality import nn_panel
+
+    rng = np.random.default_rng(0)
+    data = rng.uniform(0, 1, (40, 8, 8)).astype(np.float32)
+    samples = data[:10] + 0.01  # near-copies: NN should be identity
+    out = str(tmp_path / "panel.png")
+    pairs = nn_panel(samples, data, out, k=8)
+    assert (tmp_path / "panel.png").is_file()
+    assert len(pairs) == 8
+    for i, j, dist in pairs:
+        assert j == i and dist >= 0.0  # sample i's neighbor is data i
