@@ -423,6 +423,28 @@ def main():
             record["latent_t500_samples_per_sec"] = round(bench_latent(latent_ckpt), 1)
         except Exception as e:
             print(f"[bench] latent bench skipped: {e}", file=sys.stderr)
+    l64_ckpt = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts", "latent64_model.npz"
+    )
+    if os.path.exists(l64_ckpt):  # 64x64 stretch: full-T latent (16x16 latents)
+        try:
+            # batch 256 is the measured 64x64 optimum (BASELINE.md r5 64x64
+            # latent section: 256 -> 711.5, 1024 -> 607.0 samples/s)
+            record["latent64_t500_samples_per_sec"] = round(
+                bench_latent(l64_ckpt, batch=256, R=8), 1
+            )
+        except Exception as e:
+            print(f"[bench] latent64 bench skipped: {e}", file=sys.stderr)
+    l64r_ckpt = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts", "latent64_reflow_model.npz"
+    )
+    if os.path.exists(l64r_ckpt):  # 64x64 1-call operating point
+        try:
+            record["latent64_reflow1_samples_per_sec"] = round(
+                bench_latent_reflow(l64r_ckpt, batch=1024, R=30), 1
+            )
+        except Exception as e:
+            print(f"[bench] latent64-reflow bench skipped: {e}", file=sys.stderr)
     cd_ckpt = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "artifacts", "consistency_model.npz"
     )
