@@ -126,6 +126,7 @@ def test_epoch_checkpoints_differ():
     assert max(diffs) > 1e-4
 
 
+@pytest.mark.slow
 def test_epoch_trajectory_discriminator(dataset):
     """20-point import-orientation evidence (VERDICT.md round-1 task 5):
     evaluate every committed checkpoint (ddpm_epoch_5..95 + trained_model) on

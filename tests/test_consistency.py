@@ -74,6 +74,7 @@ def test_mid_indices_interior_placement():
         assert (np.diff(m) < 0).all()
 
 
+@pytest.mark.slow
 def test_consistency_distill_end_to_end_tiny():
     """CD a tiny random unet4 on CPU: losses finite and falling, and both
     the 1-step and multistep samplers produce finite images with the
@@ -167,6 +168,7 @@ def test_consistency_checkpoint_auto_dispatch(tmp_path):
         sample_from_checkpoint(path, jax.random.PRNGKey(1), num_images=2, timesteps=8)
 
 
+@pytest.mark.slow
 def test_consistency_self_map_of_clean_data():
     """Sanity on an UNTRAINED net: near t_min the boundary dominates, so
     f(x_1, 1) stays close to x_1 regardless of the network — the

@@ -1,6 +1,7 @@
 """Progressive distillation (training/distill.py)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -44,6 +45,7 @@ def test_phase_grids_are_nested_halvings():
         np.testing.assert_array_equal(sg, tg2)
 
 
+@pytest.mark.slow
 def test_distill_end_to_end_tiny():
     """Distill a tiny random unet4 32 -> 8 -> 4 steps on CPU: losses must be
     finite and fall within each phase, and the distilled student must

@@ -2,6 +2,7 @@
 engine-contract parity, end-to-end training + checkpoint dispatch."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -149,6 +150,7 @@ def test_flow_engine_multi_epoch_dispatch_parity():
     )
 
 
+@pytest.mark.slow
 def test_flow_cli_train(tmp_path):
     """igdm-train --model flow end to end on the bundled dataset subset."""
     from igdm_tpu.cli.train import main
@@ -186,6 +188,7 @@ def test_generate_coupling_is_consistent():
     np.testing.assert_allclose(np.asarray(redo), np.asarray(x0s), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_train_reflow_end_to_end(tmp_path):
     """Reflow fine-tunes a flow checkpoint on its own couplings; the student
     checkpoint keeps the flow sampler dispatch and records the coupling."""
@@ -237,6 +240,7 @@ def test_make_flow_sampler_matches_sample_flow():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_reflow_cli(tmp_path):
     """igdm-train --model reflow: teacher checkpoint -> reflowed student."""
     from igdm_tpu.cli.train import main

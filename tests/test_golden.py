@@ -73,6 +73,7 @@ def test_trained_model_T5_matches_golden():
     _check_explicit("trained_model.bson", "ref_trained_T5.npz")
 
 
+@pytest.mark.slow
 def test_trained_model_T500_trajectory_spot_check():
     """Key-driven T=500 trajectory: pins the full scan + threefry noise
     threading end-to-end (only the final image is stored)."""

@@ -11,11 +11,13 @@ import subprocess
 import sys
 
 import jax
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_direct():
     import __graft_entry__
 
@@ -23,6 +25,7 @@ def test_dryrun_multichip_direct():
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_subprocess_reexec():
     """The single-device fallback: force a 1-device view so dryrun_multichip
     must take the subprocess leg, exactly as on the axon host."""

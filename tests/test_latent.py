@@ -20,6 +20,7 @@ def tiny_imgs():
     return np.clip(up * 0.5, -1.0, 1.0)
 
 
+@pytest.mark.slow
 def test_autoencoder_shapes_and_roundtrip_improves(tiny_imgs):
     from igdm_tpu.models import autoencoder
     from igdm_tpu.training.latent import train_autoencoder
@@ -58,6 +59,7 @@ def test_vae_kl_term_regularizes():
     assert float(aux["kl"]) >= 0.0
 
 
+@pytest.mark.slow
 def test_latent_ddpm_end_to_end_and_dispatch(tiny_imgs, tmp_path):
     """Full LDM pipeline on CPU: AE -> latent DDPM -> auto dispatch samples
     pixel-space images (clip-free latent sampler + decode)."""
@@ -168,6 +170,7 @@ def test_latent_sampler_is_clip_free():
     np.testing.assert_allclose(np.asarray(out_clip), 1.0, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_cli_train_latent(tmp_path, monkeypatch):
     """igdm-train --model latent end to end (AE + latent DDPM) then sample."""
     from igdm_tpu.cli.sample import main as sample_main
@@ -189,6 +192,7 @@ def test_cli_train_latent(tmp_path, monkeypatch):
     assert (tmp_path / "lat.png").is_file()
 
 
+@pytest.mark.slow
 def test_cli_train_latent_flow_and_reflow(tmp_path, monkeypatch):
     """The recommended serving stack (latent flow -> reflow-1) end to end
     from the CLI alone: igdm-train --model flow --ae trains the VAE (absent

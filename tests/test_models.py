@@ -1,6 +1,7 @@
 """Model topology and numerics tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -88,6 +89,7 @@ def test_unet4_forward_and_sigmoid_range():
     assert not ((np.asarray(out2) >= 0).all() and (np.asarray(out2) <= 1).all()) or True
 
 
+@pytest.mark.slow
 def test_unet4_time_mlp_trains():
     """The reference froze its time MLP with @nograd (shared.jl:84) — ours
     must receive gradients."""
@@ -138,6 +140,7 @@ def test_decomposed_time_conv_matches_concat_path():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_unet4_mid_attention_forward_and_grad():
     """unet4 bottleneck attention (stretch config): params gain an 'attn'
     subtree, forward keeps shapes, and the block starts as identity

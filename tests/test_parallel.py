@@ -31,6 +31,7 @@ def test_shard_batch_places_shards():
     np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__
 
@@ -45,6 +46,7 @@ def test_graft_entry_compiles():
     assert out.shape == (8, 32, 32, 1)
 
 
+@pytest.mark.slow
 def test_data_parallel_epoch_matches_single_device():
     """The sharded epoch must compute the same result as unsharded (same
     program, XLA inserts collectives)."""
@@ -101,6 +103,7 @@ def test_sharded_sampling_rejects_indivisible_batch():
         )
 
 
+@pytest.mark.slow
 def test_train_ddpm_full_loop_on_mesh(tmp_path):
     """The complete training loop (epochs, checkpoints, early-stop counters)
     over a data-parallel mesh."""
@@ -147,6 +150,7 @@ def test_tensor_parallel_forward_matches_replicated():
     assert not w.sharding.is_fully_replicated
 
 
+@pytest.mark.distributed
 def test_initialize_distributed_two_processes(tmp_path):
     import os
     """initialize_distributed with two REAL jax.distributed CPU processes
@@ -245,6 +249,7 @@ def test_data_parallel_conditional_epoch_matches_single_device():
     assert abs(loss_single - loss_sharded) < 1e-4
 
 
+@pytest.mark.slow
 def test_data_parallel_distill_step_matches_single_device():
     """One distillation dispatch under a data mesh == unsharded: the
     teacher's two DDIM steps, the student update, and the optax step all
@@ -522,6 +527,7 @@ def test_data_parallel_flow_epoch_matches_single_device():
     assert abs(loss_single - loss_sharded) < 1e-4
 
 
+@pytest.mark.distributed
 def test_multihost_data_and_checkpoint_two_processes(tmp_path):
     """Round-4 multi-host readiness (VERDICT r3 task 7), with two REAL
     jax.distributed CPU processes: each process loads ONLY its slice of the
@@ -635,6 +641,7 @@ print("RANK", jax.process_index(), "OK")
         assert f"RANK {rank} OK" in out
 
 
+@pytest.mark.slow
 def test_latent_ddpm_sharded_matches_unsharded(tmp_path):
     """The latent family inherits data parallelism from the shared trainer:
     a latent DDPM epoch under the 8-device data mesh computes the same

@@ -83,6 +83,7 @@ def test_train_ddpm_3channel_64x64_smoke(tmp_path):
     assert np.asarray(out).shape == (2, 64, 64, 3)
 
 
+@pytest.mark.slow
 def test_mid_attention_forward_and_grad():
     from igdm_tpu.models import unet_small
     from igdm_tpu.models.embeddings import timestep_embedding

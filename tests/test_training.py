@@ -16,6 +16,7 @@ def small_imgs():
     return rng.standard_normal((48, 32, 32, 1)).astype(np.float32) * 0.5
 
 
+@pytest.mark.slow
 def test_train_ddpm_loss_decreases_and_checkpoints(small_imgs, tmp_path):
     from igdm_tpu.training.ddpm import train_ddpm
 
@@ -32,6 +33,7 @@ def test_train_ddpm_loss_decreases_and_checkpoints(small_imgs, tmp_path):
     assert os.path.isfile(tmp_path / "trained_model.npz")
 
 
+@pytest.mark.slow
 def test_train_ddpm_early_stopping(small_imgs, tmp_path):
     from igdm_tpu.training.ddpm import train_ddpm
 
@@ -48,6 +50,7 @@ def test_train_ddpm_early_stopping(small_imgs, tmp_path):
     assert res.epochs_run == 4  # patience=2 exceeded after 3 non-improving epochs
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_roundtrip(small_imgs, tmp_path):
     """Full state (params+opt+rng+step) must round-trip bit-exact."""
     from igdm_tpu.checkpoint.pytree_io import load_checkpoint, save_checkpoint
@@ -89,6 +92,7 @@ def test_load_for_sampling_generic(small_imgs, tmp_path):
     assert meta["model"] == "unet_small"
 
 
+@pytest.mark.slow
 def test_resume_is_bit_identical_to_uninterrupted_run(small_imgs, tmp_path):
     """train(4 epochs) == train(2) -> resume -> train(2 more), bit-exact.
 
@@ -147,6 +151,7 @@ def test_train_modern_smoke(tmp_path):
     assert "mu" in meta["norm"] and "sigma" in meta["norm"]
 
 
+@pytest.mark.slow
 def test_ema_tracked_saved_and_loadable(small_imgs, tmp_path):
     from igdm_tpu.checkpoint.pytree_io import load_for_sampling
     from igdm_tpu.training.ddpm import train_ddpm
@@ -195,6 +200,7 @@ def test_cli_train_mlp(tmp_path, monkeypatch):
     assert os.path.isfile(tmp_path / "training_loss.png")
 
 
+@pytest.mark.slow
 def test_cli_train_and_sample_ddpm(tmp_path, monkeypatch):
     from igdm_tpu.cli.sample import main as sample_main
     from igdm_tpu.cli.train import main as train_main
@@ -214,6 +220,7 @@ def test_cli_train_and_sample_ddpm(tmp_path, monkeypatch):
     assert (tmp_path / "samples.png").is_file()
 
 
+@pytest.mark.slow
 def test_cli_train_and_sample_conditional(tmp_path, monkeypatch):
     """igdm-train --model conditional end-to-end: k-means pseudo-labels,
     CFG-ready checkpoint, sampled via igdm-sample --label/--guidance
@@ -242,6 +249,7 @@ def test_cli_train_and_sample_conditional(tmp_path, monkeypatch):
     assert (tmp_path / "cond.png").is_file()
 
 
+@pytest.mark.slow
 def test_cli_train_and_upscale_superres(tmp_path, monkeypatch):
     """igdm-train --model superres end-to-end: SR3-style x4 checkpoint,
     then igdm-upscale on a PNG input."""
@@ -328,6 +336,7 @@ def test_auto_sampler_dispatch(tmp_path):
     assert info["model"] == "unet_small" and info["T"] == 5
 
 
+@pytest.mark.slow
 def test_train_bf16_mixed_precision_converges(dataset):
     """compute_dtype='bfloat16' (bf16 convs, f32 master params/BN stats)
     trains to the same loss scale as f32 — measured identical final loss
@@ -351,6 +360,7 @@ def test_train_bf16_mixed_precision_converges(dataset):
     assert res.losses[-1] < 5.0
 
 
+@pytest.mark.slow
 def test_multi_epoch_dispatch_bit_identical():
     """epochs_per_dispatch>1 scans k epochs in one jitted call; per-epoch
     RNG derives from the step counter, so losses and final params must be
@@ -382,6 +392,7 @@ def test_multi_epoch_dispatch_bit_identical():
     assert int(s1.step) == int(s2.step) == 4
 
 
+@pytest.mark.slow
 def test_v_prediction_objective_end_to_end(dataset, tmp_path):
     """TrainConfig.objective='v': the identity eps = sigma*x_t + alpha*v is
     exact (pinned numerically), a v-model trains, and sampling.auto converts
@@ -430,6 +441,7 @@ def test_v_prediction_objective_end_to_end(dataset, tmp_path):
     assert info["sampler"] == "textbook"  # v checkpoints never hit the eps-only path
 
 
+@pytest.mark.slow
 def test_engine_scan_and_host_loop_paths_identical():
     """The engine's two execution paths (lax.scan epoch vs jitted-step host
     loop — build_scanned_epoch's use_scan) derive RNG identically; the two
