@@ -200,7 +200,7 @@ def bench_latent(path: str, batch: int = 1024, R: int = 8):
     cfg = config_from_dict(DiffusionConfig, meta.get("diff_cfg", {}))
     dm = meta.get("data", {})
     fn = make_latent_sampler(
-        params, ae_params, cfg=cfg, scale=float(lmeta.get("scale", 1.0)),
+        params, ae_params, cfg=cfg, scale=float(lmeta["scale"]),  # required: silent 1.0 would mis-scale the decode
         num_images=batch, latent_size=tuple(dm.get("image_size", (8, 8))),
         latent_ch=int(dm.get("channels", 4)), method="ancestral",
         model_state=state, compute_dtype=None,
@@ -227,7 +227,7 @@ def bench_lcm(path: str, batch: int = 1024, R: int = 50):
     ae_params, _ = load_autoencoder(resolve_ae_path(path, meta["latent"]))
     cfg = config_from_dict(DiffusionConfig, meta.get("diff_cfg", {}))
     dm = meta.get("data", {})
-    scale = float(meta["latent"].get("scale", 1.0))
+    scale = float(meta["latent"]["scale"])
     zfn = make_consistency_sampler(
         params, meta["consistency"]["grid"], cfg=cfg, num_images=batch,
         steps=1, image_size=tuple(dm.get("image_size", (8, 8))),
@@ -262,7 +262,7 @@ def bench_latent_reflow(path: str, batch: int = 1024, R: int = 50):
     params = jax.tree_util.tree_map(jnp.asarray, params)
     ae_params, _ = load_autoencoder(resolve_ae_path(path, meta["latent"]))
     dm = meta.get("data", {})
-    scale = float(meta["latent"].get("scale", 1.0))
+    scale = float(meta["latent"]["scale"])
     zfn = make_flow_sampler(
         params, num_images=batch, steps=1, method="euler",
         time_scale=float(meta["flow"].get("time_scale", 1000.0)),

@@ -228,7 +228,7 @@ def main(argv=None) -> int:
                 )
             res, _ = train_latent_flow(
                 imgs_pm1, args.ae, train_cfg, base_ch=args.base_ch or 64,
-                out_dir=args.out_dir, log=print,
+                mid_attn=args.mid_attn, out_dir=args.out_dir, log=print,
             )
         else:
             res = train_flow(

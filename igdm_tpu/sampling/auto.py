@@ -67,9 +67,22 @@ def _decode(ae_params, z):
     return _DECODE_JIT(ae_params, z)
 
 
+def _lmeta_scale(lmeta) -> float:
+    """The checkpoint's LDM scale_factor — REQUIRED: a silent 1.0 default
+    would decode mis-scaled latents (every trainer here stores it; only a
+    hand-built/corrupt checkpoint can lack it, and that must be loud)."""
+    if "scale" not in lmeta:
+        raise ValueError(
+            "latent checkpoint metadata lacks 'scale' (the LDM scale_factor "
+            "stored by training/latent.py) — cannot decode; re-save the "
+            "checkpoint with its autoencoder scale"
+        )
+    return float(lmeta["scale"])
+
+
 def _decode01(lmeta, ae_params, z):
     """Shared latent epilogue: unscale, decode, clip, channel-squeeze, [0,1]."""
-    out = _decode(ae_params, z / float(lmeta.get("scale", 1.0)))
+    out = _decode(ae_params, z / _lmeta_scale(lmeta))
     arr = np.clip(np.asarray(out), -1.0, 1.0)
     pc = int(lmeta.get("pixel_channels", 1))
     return (arr[..., 0] + 1.0) / 2.0 if pc == 1 else (arr + 1.0) / 2.0

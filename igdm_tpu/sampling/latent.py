@@ -31,7 +31,14 @@ from igdm_tpu.models import autoencoder
 
 def _step_grid(cfg: DiffusionConfig, method: str, num_sample_steps: int):
     """(ts, ts_prev) descending int64 arrays for the chosen method: the full
-    T..1 grid for ancestral, a rounded-unique DDIM sub-grid otherwise."""
+    T..1 grid for ancestral, a rounded-unique DDIM sub-grid for ddim. Any
+    other method (e.g. the flow samplers' 'euler') would silently mix a
+    sub-grid with the ancestral update — hard-fail instead."""
+    if method not in ("ancestral", "ddim"):
+        raise ValueError(
+            f"latent sampler method must be 'ancestral' or 'ddim', got "
+            f"{method!r} (flow checkpoints dispatch through sampling/flow)"
+        )
     if method == "ancestral":
         ts = np.arange(cfg.num_steps, 0, -1)
     else:
@@ -39,6 +46,26 @@ def _step_grid(cfg: DiffusionConfig, method: str, num_sample_steps: int):
             np.linspace(1, cfg.num_steps, num_sample_steps).round().astype(np.int64)
         )[::-1]
     return ts, np.concatenate([ts[1:], [0]])
+
+
+def _denoise_step(
+    x, t, tp, i, kl, *, params, model_state, betas, alpha_bar, method, apply_fn
+):
+    """ONE clip-free reverse step shared by the argument-passing sampler and
+    the baked serving sampler — a numerical fix here reaches both (the
+    parity test pins their agreement)."""
+    tb = jnp.full((x.shape[0],), t, jnp.int32)
+    eps_pred, _ = apply_fn(params, model_state, x, tb, False)
+    ab_t = alpha_bar[t - 1]
+    ab_prev = jnp.where(tp >= 1, alpha_bar[jnp.maximum(tp - 1, 0)], 1.0)
+    if method == "ddim":
+        return ddim_step(x, eps_pred, ab_t, ab_prev, clip_x0=False)
+    # textbook ancestral (no noise at the final step)
+    noise = jax.random.normal(jax.random.fold_in(kl, i), x.shape, jnp.float32)
+    noise = jnp.where(tp >= 1, noise, jnp.zeros_like(noise))
+    return ddpm_posterior_step(
+        x, eps_pred, noise, betas[t - 1], ab_t, ab_prev, clip_x0=False
+    )
 
 
 @partial(
@@ -56,18 +83,10 @@ def _sample_latents_impl(
 
     def body(x, inputs):
         t, tp, i = inputs
-        tb = jnp.full((num_images,), t, jnp.int32)
-        eps_pred, _ = apply_fn(params, model_state, x, tb, False)
-        ab_t = alpha_bar[t - 1]
-        ab_prev = jnp.where(tp >= 1, alpha_bar[jnp.maximum(tp - 1, 0)], 1.0)
-        if method == "ddim":
-            x = ddim_step(x, eps_pred, ab_t, ab_prev, clip_x0=False)
-        else:  # textbook ancestral (no noise at the final step)
-            noise = jax.random.normal(jax.random.fold_in(kl, i), x.shape, jnp.float32)
-            noise = jnp.where(tp >= 1, noise, jnp.zeros_like(noise))
-            x = ddpm_posterior_step(
-                x, eps_pred, noise, betas[t - 1], ab_t, ab_prev, clip_x0=False
-            )
+        x = _denoise_step(
+            x, t, tp, i, kl, params=params, model_state=model_state,
+            betas=betas, alpha_bar=alpha_bar, method=method, apply_fn=apply_fn,
+        )
         return x, None
 
     x, _ = jax.lax.scan(body, x, (ts, ts_prev, jnp.arange(ts.shape[0])))
@@ -181,19 +200,12 @@ def make_latent_sampler(
 
         def body(x, inputs):
             t, tp, i = inputs
-            tb = jnp.full((B,), t, jnp.int32)
-            eps_pred, _ = apply_fn(ddpm_params, mstate, x, tb, False)
-            ab_t = alpha_bar[t - 1]
-            ab_prev = jnp.where(tp >= 1, alpha_bar[jnp.maximum(tp - 1, 0)], 1.0)
-            if method == "ddim":
-                xn = ddim_step(x, eps_pred, ab_t, ab_prev, clip_x0=False)
-            else:
-                noise = jax.random.normal(jax.random.fold_in(kl, i), x.shape, jnp.float32)
-                noise = jnp.where(tp >= 1, noise, jnp.zeros_like(noise))
-                xn = ddpm_posterior_step(
-                    x, eps_pred, noise, betas[t - 1], ab_t, ab_prev, clip_x0=False
-                )
-            return xn, None
+            x = _denoise_step(
+                x, t, tp, i, kl, params=ddpm_params, model_state=mstate,
+                betas=betas, alpha_bar=alpha_bar, method=method,
+                apply_fn=apply_fn,
+            )
+            return x, None
 
         z, _ = jax.lax.scan(body, x, (ts, ts_prev, jnp.arange(ts.shape[0])))
         if not decode:

@@ -274,6 +274,7 @@ def train_latent_flow(
     *,
     base_ch: int = 64,
     levels: int = 2,
+    mid_attn: bool = False,
     mesh=None,
     out_dir: str = ".",
     save_final: str = "latent_flow_model",
@@ -292,8 +293,8 @@ def train_latent_flow(
     latents, scale = _encode_dataset(ae_path, imgs)
 
     res = train_flow(
-        latents, train_cfg, base_ch=base_ch, levels=levels, mesh=mesh,
-        out_dir=out_dir, save_final=None, log=log,
+        latents, train_cfg, base_ch=base_ch, levels=levels, mid_attn=mid_attn,
+        mesh=mesh, out_dir=out_dir, save_final=None, log=log,
     )
     path = os.path.join(out_dir, f"{save_final}.npz")
     save_checkpoint(

@@ -243,13 +243,20 @@ def nn_panel(samples: np.ndarray, dataset: np.ndarray, out_path: str, k: int = 1
     best = d.min(axis=1)
     order = np.argsort(best)[:k]
     nn = d.argmin(axis=1)[order]
-    # layout: a row of samples above the row of their neighbors, repeated
-    ncols = 8
+    # layout: a row of samples above the row of their neighbors, repeated.
+    # A short final chunk is padded with blank tiles so the vertical
+    # sample/neighbor pairing survives any k (a ragged chunk would shift
+    # neighbors beside unrelated samples).
+    ncols = min(8, len(order))
+    blank = np.zeros_like(np.asarray(samples[0]))
     tiles = []
     for r0 in range(0, len(order), ncols):
         chunk = order[r0:r0 + ncols]
+        pad = ncols - len(chunk)
         tiles.extend(np.asarray(samples[i]) for i in chunk)
+        tiles.extend([blank] * pad)
         tiles.extend(np.asarray(dataset[j]) for j in nn[r0:r0 + ncols])
+        tiles.extend([blank] * pad)
     save_sample_grid(np.stack(tiles), out_path, ncols=ncols,
                      title="samples (upper rows) vs nearest train image (lower)")
     return [(int(i), int(j), float(best[i])) for i, j in zip(order, nn)]
@@ -297,16 +304,21 @@ def _main(argv=None) -> int:
     raw = load_synthetic_images(args.data)
     d01 = (raw[..., 0] + 1.0) / 2.0
 
+    recorded = []  # first-seed samples, reused for --panel (no re-sampling)
+
     def sample_fn(key, n):
         imgs01, _ = sample_from_checkpoint(
             args.checkpoint, key, num_images=n, sampler=args.sampler,
             ddim_steps=args.ddim_steps, prefer_ema=args.ema,
         )
+        if sum(c.shape[0] for c in recorded) < args.n_samples:
+            recorded.append(np.asarray(imgs01))
         return imgs01
 
     # 64x64 checkpoints are scored against the 2x-upscaled dataset (the
     # stretch-config protocol, BASELINE.md)
     probe = sample_fn(_jax.random.PRNGKey(0), 1)
+    recorded.clear()  # the 1-image probe is not part of the panel's draw
     if probe.shape[1] != d01.shape[1]:
         from igdm_tpu.data.cifar import upscale_2x
 
@@ -332,10 +344,13 @@ def _main(argv=None) -> int:
         ref = d01
         if args.holdout:
             ref = d01[holdout_split(d01.shape[0], args.holdout, args.holdout_seed)[0]]
-        samples = sample_fn(_jax.random.PRNGKey(args.seeds[0]), min(256, args.n_samples))
+        # reuse the first seed's evaluation samples — a fresh 256-image
+        # draw would repeat minutes of device time for statistically
+        # identical content (round-5 review)
+        samples = np.concatenate(recorded)[: min(256, args.n_samples)]
         rep["panel"] = {
             "path": args.panel,
-            "pairs": nn_panel(np.asarray(samples), ref, args.panel),
+            "pairs": nn_panel(samples, ref, args.panel),
         }
     print(json.dumps(rep, indent=1))
     return 0

@@ -399,3 +399,42 @@ def test_latent_flow_steps_kwarg_reaches_ode(tiny_imgs, tmp_path):
     _, info2 = sample_from_checkpoint(ckpt, jax.random.PRNGKey(0),
                                       num_images=2, ddim_steps=3)
     assert info2["T"] == 3
+
+
+def test_latent_method_validation_and_missing_scale_guard():
+    """Round-5 review: (a) a flow-style method name must hard-fail instead
+    of silently mixing a DDIM sub-grid with the ancestral update; (b) a
+    latent checkpoint metadata block lacking 'scale' must be loud in the
+    dispatcher's decode epilogue."""
+    from igdm_tpu.models import autoencoder, unet4
+    from igdm_tpu.sampling.auto import _lmeta_scale
+    from igdm_tpu.sampling.latent import make_latent_sampler, sample_latent
+
+    dp = unet4.init(jax.random.PRNGKey(0), in_channels=4, base_ch=8, levels=2)
+    ae = autoencoder.init(jax.random.PRNGKey(1), base_ch=8, latent_ch=4)
+    with pytest.raises(ValueError, match="method"):
+        make_latent_sampler(dp, ae, scale=1.0, num_images=1,
+                            latent_size=(4, 4), method="euler")
+    with pytest.raises(ValueError, match="method"):
+        sample_latent(dp, ae, jax.random.PRNGKey(0), scale=1.0, num_images=1,
+                      latent_size=(4, 4), method="euler")
+
+    assert _lmeta_scale({"scale": 2.5}) == 2.5
+    with pytest.raises(ValueError, match="scale"):
+        _lmeta_scale({"ae_path": "ae.npz"})
+
+
+def test_nn_panel_pads_ragged_chunks(tmp_path):
+    """k not a multiple of the panel width must keep sample/neighbor rows
+    vertically aligned (blank-padded), not shifted (round-5 review)."""
+    from igdm_tpu.utils.quality import nn_panel
+
+    rng = np.random.default_rng(0)
+    data = rng.uniform(0, 1, (30, 8, 8)).astype(np.float32)
+    samples = data[:12] + 0.01
+    out = str(tmp_path / "ragged.png")
+    pairs = nn_panel(samples, data, out, k=12)
+    assert (tmp_path / "ragged.png").is_file()
+    assert len(pairs) == 12
+    for i, j, _ in pairs:
+        assert j == i
