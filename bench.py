@@ -190,6 +190,7 @@ def bench_latent(path: str, batch: int = 1024, R: int = 8):
     as bench_distilled."""
     from igdm_tpu.checkpoint.pytree_io import load_for_sampling
     from igdm_tpu.config import DiffusionConfig, config_from_dict
+    from igdm_tpu.sampling.auto import _lmeta_scale
     from igdm_tpu.sampling.latent import make_latent_sampler
     from igdm_tpu.training.latent import load_autoencoder, resolve_ae_path
 
@@ -200,7 +201,7 @@ def bench_latent(path: str, batch: int = 1024, R: int = 8):
     cfg = config_from_dict(DiffusionConfig, meta.get("diff_cfg", {}))
     dm = meta.get("data", {})
     fn = make_latent_sampler(
-        params, ae_params, cfg=cfg, scale=float(lmeta["scale"]),  # required: silent 1.0 would mis-scale the decode
+        params, ae_params, cfg=cfg, scale=_lmeta_scale(lmeta),
         num_images=batch, latent_size=tuple(dm.get("image_size", (8, 8))),
         latent_ch=int(dm.get("channels", 4)), method="ancestral",
         model_state=state, compute_dtype=None,
@@ -219,6 +220,7 @@ def bench_lcm(path: str, batch: int = 1024, R: int = 50):
     from igdm_tpu.checkpoint.pytree_io import load_for_sampling
     from igdm_tpu.config import DiffusionConfig, config_from_dict
     from igdm_tpu.models import autoencoder
+    from igdm_tpu.sampling.auto import _lmeta_scale
     from igdm_tpu.sampling.consistency import make_consistency_sampler
     from igdm_tpu.training.latent import load_autoencoder, resolve_ae_path
 
@@ -227,7 +229,7 @@ def bench_lcm(path: str, batch: int = 1024, R: int = 50):
     ae_params, _ = load_autoencoder(resolve_ae_path(path, meta["latent"]))
     cfg = config_from_dict(DiffusionConfig, meta.get("diff_cfg", {}))
     dm = meta.get("data", {})
-    scale = float(meta["latent"]["scale"])
+    scale = _lmeta_scale(meta["latent"])
     zfn = make_consistency_sampler(
         params, meta["consistency"]["grid"], cfg=cfg, num_images=batch,
         steps=1, image_size=tuple(dm.get("image_size", (8, 8))),
@@ -255,6 +257,7 @@ def bench_latent_reflow(path: str, batch: int = 1024, R: int = 50):
     +15% and +11% respectively; BASELINE.md latent roofline)."""
     from igdm_tpu.checkpoint.pytree_io import load_for_sampling
     from igdm_tpu.models import autoencoder
+    from igdm_tpu.sampling.auto import _lmeta_scale
     from igdm_tpu.sampling.flow import make_flow_sampler
     from igdm_tpu.training.latent import load_autoencoder, resolve_ae_path
 
@@ -262,7 +265,7 @@ def bench_latent_reflow(path: str, batch: int = 1024, R: int = 50):
     params = jax.tree_util.tree_map(jnp.asarray, params)
     ae_params, _ = load_autoencoder(resolve_ae_path(path, meta["latent"]))
     dm = meta.get("data", {})
-    scale = float(meta["latent"]["scale"])
+    scale = _lmeta_scale(meta["latent"])
     zfn = make_flow_sampler(
         params, num_images=batch, steps=1, method="euler",
         time_scale=float(meta["flow"].get("time_scale", 1000.0)),

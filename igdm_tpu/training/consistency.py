@@ -247,9 +247,13 @@ def consistency_distill_checkpoint(
         from igdm_tpu.models import autoencoder
         from igdm_tpu.training.latent import load_autoencoder, resolve_ae_path
 
+        from igdm_tpu.sampling.auto import _lmeta_scale
+
         ae_params, _ = load_autoencoder(resolve_ae_path(teacher_ckpt, latent_meta))
         mean, _ = jax.jit(autoencoder.encode)(ae_params, jnp.asarray(imgs, jnp.float32))
-        imgs = mean * float(latent_meta.get("scale", 1.0))
+        # scale is REQUIRED (shared guard): silently distilling on
+        # unscaled latents would also poison sigma_data below
+        imgs = mean * _lmeta_scale(latent_meta)
         # the scaled latents are ~unit-std, not pixel-std: sigma_data must
         # match the data the consistency parameterization runs on, or the
         # c_skip/c_out balance is systematically off (round-4 review)

@@ -305,13 +305,14 @@ def _main(argv=None) -> int:
     d01 = (raw[..., 0] + 1.0) / 2.0
 
     recorded = []  # first-seed samples, reused for --panel (no re-sampling)
+    panel_budget = min(256, args.n_samples) if args.panel else 0
 
     def sample_fn(key, n):
         imgs01, _ = sample_from_checkpoint(
             args.checkpoint, key, num_images=n, sampler=args.sampler,
             ddim_steps=args.ddim_steps, prefer_ema=args.ema,
         )
-        if sum(c.shape[0] for c in recorded) < args.n_samples:
+        if sum(c.shape[0] for c in recorded) < panel_budget:
             recorded.append(np.asarray(imgs01))
         return imgs01
 
