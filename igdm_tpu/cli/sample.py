@@ -29,6 +29,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--ddim-steps", type=int, default=50, help="steps for --sampler ddim/dpmpp")
     p.add_argument(
+        "--eta", type=float, default=0.0,
+        help="stochastic-DDIM noise scale for --sampler ddim (0 = "
+        "deterministic, 1 = posterior-matched noise — the few-step "
+        "coverage lever for latent checkpoints, BASELINE.md)",
+    )
+    p.add_argument(
         "--steps", type=int, default=None,
         help="model calls for consistency checkpoints (1 = pure consistency; "
         "2/4 = multistep refinement)",
@@ -123,6 +129,7 @@ def main(argv=None) -> int:
         label=args.label,
         guidance_scale=args.guidance,
         steps=args.steps,
+        eta=args.eta,
     )
     save_sample_grid(imgs01, args.out, title="Generated Images")
     print(

@@ -100,6 +100,7 @@ def sample_from_checkpoint(
     label: int | None = None,
     guidance_scale: float = 2.0,
     steps: int | None = None,
+    eta: float = 0.0,
 ):
     """Load any checkpoint and sample from it.
 
@@ -288,7 +289,7 @@ def sample_from_checkpoint(
             num_images=num_images, latent_size=image_size, latent_ch=channels,
             method="ddim" if sampler in ("auto", "ddim") else "ancestral",
             num_sample_steps=ddim_steps, model_kind=model_kind,
-            model_state=state,
+            model_state=state, eta=eta,
         )
         return decode01(z), {
             "model": f"{model_kind}(latent)",
@@ -378,8 +379,8 @@ def sample_from_checkpoint(
 
         out = sample_ddim(
             params, state, key, num_images=num_images, cfg=cfg,
-            num_sample_steps=ddim_steps, channels=channels, image_size=image_size,
-            model_kind=model_kind, apply_fn=apply_fn,
+            num_sample_steps=ddim_steps, eta=eta, channels=channels,
+            image_size=image_size, model_kind=model_kind, apply_fn=apply_fn,
         )
     elif sampler == "dpmpp":
         from igdm_tpu.sampling.ancestral import sample_dpmpp2m

@@ -49,17 +49,28 @@ def _step_grid(cfg: DiffusionConfig, method: str, num_sample_steps: int):
 
 
 def _denoise_step(
-    x, t, tp, i, kl, *, params, model_state, betas, alpha_bar, method, apply_fn
+    x, t, tp, i, kl, *, params, model_state, betas, alpha_bar, method, apply_fn,
+    eta: float = 0.0,
 ):
     """ONE clip-free reverse step shared by the argument-passing sampler and
     the baked serving sampler — a numerical fix here reaches both (the
-    parity test pins their agreement)."""
+    parity test pins their agreement).
+
+    eta: stochastic DDIM (Song et al. 2020) interpolation — 0 is the
+    deterministic sampler, 1 recovers ancestral-posterior noise on the
+    sub-grid (ddim_step's sigma is exactly the posterior std for adjacent
+    steps; pinned by tests). Ignored for method='ancestral'."""
     tb = jnp.full((x.shape[0],), t, jnp.int32)
     eps_pred, _ = apply_fn(params, model_state, x, tb, False)
     ab_t = alpha_bar[t - 1]
     ab_prev = jnp.where(tp >= 1, alpha_bar[jnp.maximum(tp - 1, 0)], 1.0)
     if method == "ddim":
-        return ddim_step(x, eps_pred, ab_t, ab_prev, clip_x0=False)
+        noise = None
+        if eta > 0:
+            noise = jax.random.normal(jax.random.fold_in(kl, i), x.shape, jnp.float32)
+            noise = jnp.where(tp >= 1, noise, jnp.zeros_like(noise))
+        return ddim_step(x, eps_pred, ab_t, ab_prev, eta=eta, noise=noise,
+                         clip_x0=False)
     # textbook ancestral (no noise at the final step)
     noise = jax.random.normal(jax.random.fold_in(kl, i), x.shape, jnp.float32)
     noise = jnp.where(tp >= 1, noise, jnp.zeros_like(noise))
@@ -71,11 +82,12 @@ def _denoise_step(
 @partial(
     jax.jit,
     static_argnames=("num_images", "latent_size", "latent_ch", "num_steps",
-                     "method", "apply_fn"),
+                     "method", "apply_fn", "eta"),
 )
 def _sample_latents_impl(
     params, model_state, key, betas, alpha_bar, ts, ts_prev, *,
     num_images, latent_size, latent_ch, num_steps, method, apply_fn,
+    eta=0.0,
 ):
     h, w = latent_size
     k0, kl = jax.random.split(key)
@@ -86,6 +98,7 @@ def _sample_latents_impl(
         x = _denoise_step(
             x, t, tp, i, kl, params=params, model_state=model_state,
             betas=betas, alpha_bar=alpha_bar, method=method, apply_fn=apply_fn,
+            eta=eta,
         )
         return x, None
 
@@ -109,8 +122,13 @@ def sample_latent(
     model_state=None,
     decode: bool = True,
     compute_dtype=None,
+    eta: float = 0.0,
 ):
     """Sample latents (clip-free), unscale, decode -> (N, H, W, C) images.
+
+    eta: stochastic-DDIM knob (method='ddim' only): 0 = deterministic,
+    1 = posterior-matched noise on the sub-grid — the coverage lever for
+    few-step latent sampling (BASELINE.md round-5 eta sweep).
 
     scale: the checkpoint's LDM scale_factor (``meta['latent']['scale']``) —
     REQUIRED when decode=True; a silently wrong default would decode
@@ -138,6 +156,7 @@ def sample_latent(
         num_images=num_images, latent_size=tuple(latent_size),
         latent_ch=latent_ch, num_steps=cfg.num_steps, method=method,
         apply_fn=make_apply_fn(model_kind, cfg.embed_dim, compute_dtype=compute_dtype),
+        eta=float(eta),
     )
     if not decode:
         return z
@@ -161,6 +180,7 @@ def make_latent_sampler(
     model_state=None,
     compute_dtype=None,
     decode: bool = True,
+    eta: float = 0.0,
 ):
     """Compile a serving-style latent sampler with the U-Net AND VAE weights
     baked in as XLA constants: ``fn(key) -> images``.
@@ -203,7 +223,7 @@ def make_latent_sampler(
             x = _denoise_step(
                 x, t, tp, i, kl, params=ddpm_params, model_state=mstate,
                 betas=betas, alpha_bar=alpha_bar, method=method,
-                apply_fn=apply_fn,
+                apply_fn=apply_fn, eta=float(eta),
             )
             return x, None
 

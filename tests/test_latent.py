@@ -438,3 +438,50 @@ def test_nn_panel_pads_ragged_chunks(tmp_path):
     assert len(pairs) == 12
     for i, j, _ in pairs:
         assert j == i
+
+
+def test_ddim_eta1_equals_textbook_posterior_on_adjacent_steps():
+    """Algebra pin: for adjacent timesteps the stochastic-DDIM sigma
+    (eta=1) equals the textbook posterior std AND the deterministic part
+    reduces to the posterior mean, so ddim_step(eta=1, noise) ==
+    ddpm_posterior_step(same noise) exactly (Song et al. 2020, eq. 16)."""
+    from igdm_tpu.diffusion.processes import ddim_step, ddpm_posterior_step
+
+    rng = np.random.default_rng(0)
+    x_t = jnp.asarray(rng.normal(0, 1.5, (2, 4, 4, 3)).astype(np.float32))
+    eps = jnp.asarray(rng.normal(0, 1, x_t.shape).astype(np.float32))
+    nz = jnp.asarray(rng.normal(0, 1, x_t.shape).astype(np.float32))
+    ab_prev, ab_t = 0.71, 0.63  # adjacent: beta_t = 1 - ab_t/ab_prev
+    beta_t = 1.0 - ab_t / ab_prev
+    out_ddim = ddim_step(
+        x_t, eps, jnp.float32(ab_t), jnp.float32(ab_prev), eta=1.0, noise=nz,
+        clip_x0=False,
+    )
+    out_post = ddpm_posterior_step(
+        x_t, eps, nz, jnp.float32(beta_t), jnp.float32(ab_t),
+        jnp.float32(ab_prev), clip_x0=False,
+    )
+    np.testing.assert_allclose(np.asarray(out_ddim), np.asarray(out_post),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_latent_ddim_eta_changes_samples_and_stays_finite():
+    """eta plumbs through sample_latent/make_latent_sampler: eta=1 output
+    differs from eta=0 on the same key, both finite; eta=0 unchanged vs
+    the default (the deterministic path is untouched)."""
+    from igdm_tpu.models import autoencoder, unet4
+    from igdm_tpu.sampling.latent import make_latent_sampler, sample_latent
+
+    cfg = DiffusionConfig(num_steps=8)
+    dp = unet4.init(jax.random.PRNGKey(0), in_channels=4, base_ch=8, levels=2)
+    ae = autoencoder.init(jax.random.PRNGKey(1), base_ch=8, latent_ch=4)
+    key = jax.random.PRNGKey(3)
+    kw = dict(cfg=cfg, scale=2.0, num_images=2, latent_size=(4, 4),
+              method="ddim", num_sample_steps=4)
+    base = np.asarray(sample_latent(dp, ae, key, **kw))
+    same = np.asarray(sample_latent(dp, ae, key, eta=0.0, **kw))
+    np.testing.assert_array_equal(base, same)
+    stoch = np.asarray(sample_latent(dp, ae, key, eta=1.0, **kw))
+    assert np.isfinite(stoch).all() and not np.allclose(stoch, base)
+    fn = make_latent_sampler(dp, ae, eta=1.0, compute_dtype=None, **kw)
+    np.testing.assert_allclose(np.asarray(fn(key)), stoch, rtol=2e-5, atol=2e-5)
