@@ -281,6 +281,8 @@ def _main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--sampler", default="auto")
     p.add_argument("--ddim-steps", type=int, default=50)
+    p.add_argument("--eta", type=float, default=0.0,
+                   help="stochastic-DDIM noise scale (BASELINE.md eta study)")
     p.add_argument("--ema", action="store_true")
     p.add_argument(
         "--holdout", type=int, default=0,
@@ -310,7 +312,7 @@ def _main(argv=None) -> int:
     def sample_fn(key, n):
         imgs01, _ = sample_from_checkpoint(
             args.checkpoint, key, num_images=n, sampler=args.sampler,
-            ddim_steps=args.ddim_steps, prefer_ema=args.ema,
+            ddim_steps=args.ddim_steps, prefer_ema=args.ema, eta=args.eta,
         )
         if sum(c.shape[0] for c in recorded) < panel_budget:
             recorded.append(np.asarray(imgs01))
