@@ -17,7 +17,7 @@ from igdm_tpu.utils.quality import evaluate_sampler
 
 print(jax.devices(), flush=True)
 raw = load_synthetic_images("/root/repo/SyntheticImages500.mat")
-d01 = (raw[..., 0] + 1.0) / 2.0
+d01 = np.clip(raw[..., 0], 0.0, 1.0)  # frame-matched (round-5 correction, BASELINE.md)
 
 A = "/root/repo/artifacts"
 

@@ -27,8 +27,8 @@ from igdm_tpu.utils.quality import evaluate_sampler
 run_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/latent64"
 out = {}
 
-d01 = (load_synthetic_images()[..., 0] + 1.0) / 2.0
-d01 = upscale_2x(d01[..., None])[..., 0]  # (500, 64, 64)
+d01 = load_synthetic_images()[..., 0]
+d01 = np.clip(upscale_2x(d01[..., None])[..., 0], 0.0, 1.0)  # (500, 64, 64), frame-matched (round-5 correction)
 print("dataset:", d01.shape, flush=True)
 
 

@@ -62,8 +62,8 @@ from igdm_tpu.data.mat import load_synthetic_images
 from igdm_tpu.sampling.auto import sample_from_checkpoint
 from igdm_tpu.utils.quality import evaluate_sampler
 
-d01 = (load_synthetic_images()[..., 0] + 1.0) / 2.0
-d01 = upscale_2x(d01[..., None])[..., 0]
+d01 = load_synthetic_images()[..., 0]
+d01 = np.clip(upscale_2x(d01[..., None])[..., 0], 0.0, 1.0)  # frame-matched (round-5 correction)
 
 def fn64(key, n):
     imgs01, _ = sample_from_checkpoint(

@@ -86,3 +86,21 @@ def karras_sigma_schedule(
     t = (i - 2.0) / (n_interior - 1.0)
     sig[1:] = np.minimum((a + t * (b - a)) ** (-rho), 1.0)
     return sig[:num_steps]
+
+
+def strided_ddim_grid(num_steps: int, num_sample_steps: int):
+    """Shared strided sampling grid: unique rounded ``linspace(1, T, n)``
+    descending, plus the shifted-previous array terminated by 0 (which every
+    consumer maps to "alpha_bar_prev = 1 / sigma = 0").
+
+    One definition for the six DDIM-family samplers (ddim, dpm++2m, heun,
+    CFG, superres, latent) — a rounding/endpoint change here reaches all of
+    them at once instead of drifting per-file (round-5 review).
+    Returns (ts, ts_prev) int32 ndarrays.
+    """
+    import numpy as _np
+
+    ts = _np.unique(
+        _np.linspace(1, num_steps, num_sample_steps).round().astype(_np.int32)
+    )[::-1]
+    return ts, _np.concatenate([ts[1:], [0]]).astype(_np.int32)

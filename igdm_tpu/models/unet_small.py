@@ -340,6 +340,11 @@ def fold_bn(params, state, *, eps: float = 1e-5):
         "up1": fold_block(params["up1"], state["up1"], names2),
         "final": dict(params["final"]),
     }
+    if "attn" in params:
+        # the mid_attn block has no BatchNorm to fold — carry it through so
+        # the folded fast path computes the SAME function as apply() (a
+        # dropped block would silently skip attention; round-5 review)
+        folded["attn"] = params["attn"]
     return folded
 
 
@@ -377,6 +382,10 @@ def apply_folded(folded, x, t_emb, *, compute_dtype=None, decompose_time_conv=Fa
     h = max_pool_2x2(h1)
     h = conv_relu(folded["down2"]["conv2"], conv_relu(folded["down2"]["conv1"], h))
     h = conv_relu(folded["mid"]["conv2"], conv_relu(folded["mid"]["conv1"], h))
+    if "attn" in folded:  # mirror apply(): residual self-attention, f32
+        from igdm_tpu.ops.attention import spatial_self_attention
+
+        h = spatial_self_attention(folded["attn"], h.astype(jnp.float32)).astype(dt)
     wt, bt = cc(folded["up2"]["convt"])
     # bf16 end to end: the f32 default cost ~180 us/step in a 67 MB f32
     # pixel-shuffle intermediate + layout transpose (BASELINE.md round-3)

@@ -43,7 +43,12 @@ def _flash_eligible(n_tokens: int, head_dim: int) -> bool:
     softmax is already VMEM-resident and ties)."""
     return (
         n_tokens >= 1024
-        and n_tokens % 128 == 0
+        # the kernel tiles N into block_q = block_k = 512 tiles
+        # (flash_attention defaults) and _check_shapes hard-fails on a
+        # remainder — mirror the REAL constraint here so auto-routing never
+        # selects a config the kernel rejects (e.g. N=2304 at 48x48;
+        # round-5 review)
+        and n_tokens % 512 == 0
         and (head_dim <= 128 or head_dim % 128 == 0)
     )
 

@@ -25,6 +25,7 @@ from igdm_tpu.diffusion.schedules import (
     alphas_cumprod,
     betas_for_config,
     karras_sigma_schedule,
+    strided_ddim_grid,
 )
 from igdm_tpu.models import unet_small, unet4
 from igdm_tpu.models.embeddings import timestep_embedding
@@ -116,20 +117,29 @@ def _sample_ddpm_explicit(
 ):
     h, w = image_size
     if x_init is None:
+        # x_init from the RAW key — the long-standing stream the golden
+        # parity fixtures pin; do not re-split here
         x_init = jax.random.normal(key, (num_images, h, w, channels), jnp.float32)
     x = jnp.asarray(x_init, jnp.float32)
     t_vals = jnp.arange(num_steps, 1, -1)
+    k_loop = jax.random.split(key)[1]  # only consumed when noises is None
 
     def body(x, inputs):
-        t, noise = inputs
+        t, i = inputs
         t_emb = timestep_embedding(jnp.full((num_images,), t, jnp.float32), embed_dim)
         eps_pred, _ = unet_small.apply(params, model_state, x, t_emb, train=False)
+        if noises is None:
+            # explicit x_init but key-derived per-step noise (used to crash
+            # on jnp.asarray(None) — round-5 review)
+            noise = jax.random.normal(jax.random.fold_in(k_loop, i), x.shape, jnp.float32)
+        else:
+            noise = noises[i]
         x = reverse_diffusion_step(
             x, eps_pred, noise, alpha_bar[t - 1], alpha_bar[t - 2], use_noise=True
         )
         return x, None
 
-    x, _ = jax.lax.scan(body, x, (t_vals, jnp.asarray(noises, jnp.float32)))
+    x, _ = jax.lax.scan(body, x, (t_vals, jnp.arange(t_vals.shape[0])))
     return jnp.clip(x, -1.0, 1.0)
 
 
@@ -386,8 +396,7 @@ def sample_ddim(
     cfg = cfg or DiffusionConfig()
     alpha_bar = _alpha_bar(cfg)
     # strided 1-based timesteps T ... 1, length num_sample_steps
-    ts = np.unique(np.linspace(1, cfg.num_steps, num_sample_steps).round().astype(np.int32))[::-1]
-    ts_prev = np.concatenate([ts[1:], [0]])  # 0 => alpha_bar_prev = 1
+    ts, ts_prev = strided_ddim_grid(cfg.num_steps, num_sample_steps)  # 0 => alpha_bar_prev = 1
     return _sample_ddim_impl(
         params, model_state, key, alpha_bar,
         jnp.asarray(ts.copy()), jnp.asarray(ts_prev.copy()),
@@ -550,10 +559,7 @@ def sample_dpmpp2m(
 
     cfg = cfg or DiffusionConfig()
     alpha_bar = _alpha_bar(cfg)
-    ts = np.unique(
-        np.linspace(1, cfg.num_steps, num_sample_steps).round().astype(np.int32)
-    )[::-1]
-    ts_prev = np.concatenate([ts[1:], [0]])  # 0 => alpha_bar = 1 (clean)
+    ts, ts_prev = strided_ddim_grid(cfg.num_steps, num_sample_steps)  # 0 => alpha_bar = 1 (clean)
     if apply_fn is None:
         apply_fn = make_apply_fn(model_kind, cfg.embed_dim)
     return _sample_dpmpp2m_impl(
@@ -638,10 +644,7 @@ def sample_heun(
 
     cfg = cfg or DiffusionConfig()
     alpha_bar = _alpha_bar(cfg)
-    ts = np.unique(
-        np.linspace(1, cfg.num_steps, num_sample_steps).round().astype(np.int32)
-    )[::-1]
-    ts_next = np.concatenate([ts[1:], [0]])  # 0 => sigma_edm = 0 (clean)
+    ts, ts_next = strided_ddim_grid(cfg.num_steps, num_sample_steps)  # 0 => sigma_edm = 0 (clean)
     if apply_fn is None:
         apply_fn = make_apply_fn(model_kind, cfg.embed_dim)
     return _sample_heun_impl(

@@ -88,6 +88,16 @@ def _decode01(lmeta, ae_params, z):
     return (arr[..., 0] + 1.0) / 2.0 if pc == 1 else (arr + 1.0) / 2.0
 
 
+def _reject_eta(eta, where):
+    """eta only modulates DDIM-family noise; silently ignoring it on other
+    samplers made eta sweeps meaningless (round-5 review) — be loud."""
+    if eta:
+        raise ValueError(
+            f"eta={eta} is not supported by the {where} sampler — eta applies "
+            "to ddim / latent-ddim / guided-CFG sampling only"
+        )
+
+
 def sample_from_checkpoint(
     path: str,
     key,
@@ -125,6 +135,8 @@ def sample_from_checkpoint(
         from igdm_tpu.checkpoint.bson_import import import_simple_unet
         from igdm_tpu.sampling.ancestral import sample_ddpm
 
+        _reject_eta(eta, "reference-bson ancestral")
+
         params, state, meta = import_simple_unet(str(path))
         params = jax.tree_util.tree_map(jnp.asarray, params)
         state = jax.tree_util.tree_map(jnp.asarray, state)
@@ -152,6 +164,7 @@ def sample_from_checkpoint(
     model_kind = meta.get("model", "unet_small")
 
     if "modern_cfg" in meta:  # gen-3 recipe: sample with its training schedule
+        _reject_eta(eta, "modern sigma-schedule")
         from igdm_tpu.sampling.ancestral import sample_with_sigmas
         from igdm_tpu.training.modern import ModernTrainConfig, sigma_schedule
 
@@ -166,6 +179,7 @@ def sample_from_checkpoint(
         return imgs01, {"model": "unet4(modern)", "T": cfg4.num_steps, "sampler": "sigma"}
 
     if "flow" in meta:  # rectified-flow checkpoint: deterministic ODE solve
+        _reject_eta(eta, "flow-ODE")
         from igdm_tpu.sampling.flow import sample_flow
 
         if timesteps is not None:
@@ -249,6 +263,7 @@ def sample_from_checkpoint(
             return _decode01(lmeta, ae_params, z)
 
         if "consistency" in meta:  # latent consistency model: 1-call + decode
+            _reject_eta(eta, "latent-consistency")
             from igdm_tpu.sampling.consistency import sample_consistency
 
             cmeta = meta["consistency"]
@@ -276,7 +291,7 @@ def sample_from_checkpoint(
             z = sample_cfg(
                 params, key, jnp.asarray(lab), guidance_scale=guidance_scale,
                 cfg=cfg, num_sample_steps=ddim_steps, image_size=image_size,
-                channels=channels, clip_x0=False,
+                channels=channels, clip_x0=False, eta=eta,
                 objective=(meta.get("train_cfg") or {}).get("objective", "eps"),
             )
             return decode01(z), {
@@ -284,10 +299,13 @@ def sample_from_checkpoint(
                 "sampler": "latent-cfg", "guidance_scale": guidance_scale,
             }
 
+        _lat_method = "ddim" if sampler in ("auto", "ddim") else "ancestral"
+        if _lat_method != "ddim":
+            _reject_eta(eta, "latent-ancestral")
         z = sample_latent(
             params, ae_params, key, cfg=cfg, decode=False,  # decode01 decodes
             num_images=num_images, latent_size=image_size, latent_ch=channels,
-            method="ddim" if sampler in ("auto", "ddim") else "ancestral",
+            method=_lat_method,
             num_sample_steps=ddim_steps, model_kind=model_kind,
             model_state=state, eta=eta,
         )
@@ -299,6 +317,7 @@ def sample_from_checkpoint(
         }
 
     if "distill" in meta:  # progressively-distilled student: its own grid
+        _reject_eta(eta, "distilled")
         from igdm_tpu.sampling.ancestral import sample_distilled
 
         grid = meta["distill"]["grid"]
@@ -314,6 +333,7 @@ def sample_from_checkpoint(
         }
 
     if "consistency" in meta:  # consistency-distilled model: 1-2 call f
+        _reject_eta(eta, "consistency")
         from igdm_tpu.sampling.consistency import sample_consistency
 
         cmeta = meta["consistency"]
@@ -345,7 +365,7 @@ def sample_from_checkpoint(
         out = sample_cfg(
             params, key, jnp.asarray(lab), guidance_scale=guidance_scale,
             cfg=cfg, num_sample_steps=ddim_steps, image_size=image_size,
-            channels=channels,
+            channels=channels, eta=eta,
             objective=(meta.get("train_cfg") or {}).get("objective", "eps"),
         )
         arr = np.asarray(out)
@@ -383,6 +403,7 @@ def sample_from_checkpoint(
             image_size=image_size, model_kind=model_kind, apply_fn=apply_fn,
         )
     elif sampler == "dpmpp":
+        _reject_eta(eta, "dpmpp")
         from igdm_tpu.sampling.ancestral import sample_dpmpp2m
 
         out = sample_dpmpp2m(
@@ -391,6 +412,7 @@ def sample_from_checkpoint(
             model_kind=model_kind, apply_fn=apply_fn,
         )
     elif sampler == "heun":
+        _reject_eta(eta, "heun")
         from igdm_tpu.sampling.ancestral import sample_heun
 
         out = sample_heun(
@@ -399,6 +421,7 @@ def sample_from_checkpoint(
             model_kind=model_kind, apply_fn=apply_fn,
         )
     elif sampler == "ancestral" and model_kind == "unet_small":
+        _reject_eta(eta, "ancestral")
         from igdm_tpu.sampling.ancestral import sample_ddpm
 
         out = sample_ddpm(
@@ -406,6 +429,7 @@ def sample_from_checkpoint(
             channels=channels, image_size=image_size,
         )
     else:  # textbook posterior works for both families
+        _reject_eta(eta, "textbook-ancestral")
         from igdm_tpu.sampling.ancestral import make_textbook_sampler
 
         fn = make_textbook_sampler(

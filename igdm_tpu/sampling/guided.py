@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from igdm_tpu.config import DiffusionConfig
+from igdm_tpu.diffusion.schedules import strided_ddim_grid
 from igdm_tpu.models import unet4
 from igdm_tpu.sampling.ancestral import _alpha_bar, ddim_step
 
@@ -53,10 +54,7 @@ def sample_cfg(
     cfg = cfg or DiffusionConfig()
     labels = jnp.asarray(labels, jnp.int32)
     alpha_bar = _alpha_bar(cfg)
-    ts = np.unique(
-        np.linspace(1, cfg.num_steps, num_sample_steps).round().astype(np.int32)
-    )[::-1]
-    ts_prev = np.concatenate([ts[1:], [0]])
+    ts, ts_prev = strided_ddim_grid(cfg.num_steps, num_sample_steps)
     return _sample_cfg_impl(
         params, key, labels, alpha_bar,
         jnp.asarray(ts.copy()), jnp.asarray(ts_prev.copy()),

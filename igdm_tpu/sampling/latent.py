@@ -25,7 +25,11 @@ import numpy as np
 
 from igdm_tpu.config import DiffusionConfig
 from igdm_tpu.diffusion.processes import ddim_step, ddpm_posterior_step
-from igdm_tpu.diffusion.schedules import alphas_cumprod, betas_for_config
+from igdm_tpu.diffusion.schedules import (
+    alphas_cumprod,
+    betas_for_config,
+    strided_ddim_grid,
+)
 from igdm_tpu.models import autoencoder
 
 
@@ -41,11 +45,8 @@ def _step_grid(cfg: DiffusionConfig, method: str, num_sample_steps: int):
         )
     if method == "ancestral":
         ts = np.arange(cfg.num_steps, 0, -1)
-    else:
-        ts = np.unique(
-            np.linspace(1, cfg.num_steps, num_sample_steps).round().astype(np.int64)
-        )[::-1]
-    return ts, np.concatenate([ts[1:], [0]])
+        return ts, np.concatenate([ts[1:], [0]])
+    return strided_ddim_grid(cfg.num_steps, num_sample_steps)
 
 
 def _denoise_step(

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from igdm_tpu.config import DiffusionConfig
+from igdm_tpu.diffusion.schedules import strided_ddim_grid
 from igdm_tpu.models import unet4
 from igdm_tpu.sampling.ancestral import _alpha_bar, ddim_step
 from igdm_tpu.training.superres import upsample_to
@@ -41,10 +42,7 @@ def sample_superres(
     n, h, w, c = lowres.shape
     cond = upsample_to(lowres, (h * factor, w * factor))
     alpha_bar = _alpha_bar(cfg)
-    ts = np.unique(
-        np.linspace(1, cfg.num_steps, num_sample_steps).round().astype(np.int32)
-    )[::-1]
-    ts_prev = np.concatenate([ts[1:], [0]])
+    ts, ts_prev = strided_ddim_grid(cfg.num_steps, num_sample_steps)
     return _sample_sr_impl(
         params, cond, key, alpha_bar,
         jnp.asarray(ts.copy()), jnp.asarray(ts_prev.copy()),

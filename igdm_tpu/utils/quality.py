@@ -20,13 +20,15 @@ import numpy as np
 
 
 def _sq_dists(a, b):
-    """(Na, Nb) squared L2 distances via the matmul expansion."""
+    """(Na, Nb) squared L2 distances via the matmul expansion (clamped at 0:
+    the expansion goes slightly negative for near-identical vectors, which
+    would leak negative nn_mse and unstable duplicate ties)."""
     a = jnp.asarray(a.reshape(a.shape[0], -1), jnp.float32)
     b = jnp.asarray(b.reshape(b.shape[0], -1), jnp.float32)
     aa = jnp.sum(a * a, axis=1, keepdims=True)
     bb = jnp.sum(b * b, axis=1, keepdims=True)
     ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
-    return aa + bb.T - 2.0 * ab
+    return jnp.maximum(aa + bb.T - 2.0 * ab, 0.0)
 
 
 def nn_mse(samples: np.ndarray, dataset: np.ndarray) -> float:
@@ -304,7 +306,15 @@ def _main(argv=None) -> int:
     from igdm_tpu.sampling.auto import sample_from_checkpoint
 
     raw = load_synthetic_images(args.data)
-    d01 = (raw[..., 0] + 1.0) / 2.0
+    # Frame-matched dataset: samplers display images as
+    # (clip(model_space, -1, 1)+1)/2 with model_space = normalize_pm1(raw)
+    # = 2*raw-1, so the dataset must ride the SAME affine chain —
+    # clip(raw, 0, 1). The previous (raw+1)/2 frame made a PERFECT
+    # generator score nn_mse 0.0179 on the bundled data (measured; the
+    # round-5 frame correction, BASELINE.md) — comparisons BETWEEN models
+    # were unaffected (same transform both sides), absolute values were
+    # floor-inflated.
+    d_raw = raw[..., 0]
 
     recorded = []  # first-seed samples, reused for --panel (no re-sampling)
     panel_budget = min(256, args.n_samples) if args.panel else 0
@@ -319,19 +329,21 @@ def _main(argv=None) -> int:
         return imgs01
 
     # 64x64 checkpoints are scored against the 2x-upscaled dataset (the
-    # stretch-config protocol, BASELINE.md)
+    # stretch-config protocol, BASELINE.md) — upscale BEFORE the clip so
+    # the chain matches training exactly (train: normalize_pm1(upscale(raw)))
     probe = sample_fn(_jax.random.PRNGKey(0), 1)
     recorded.clear()  # the 1-image probe is not part of the panel's draw
-    if probe.shape[1] != d01.shape[1]:
+    if probe.shape[1] != d_raw.shape[1]:
         from igdm_tpu.data.cifar import upscale_2x
 
-        while d01.shape[1] < probe.shape[1]:
-            d01 = upscale_2x(d01[..., None])[..., 0]
-        if d01.shape[1] != probe.shape[1]:
+        while d_raw.shape[1] < probe.shape[1]:
+            d_raw = upscale_2x(d_raw[..., None])[..., 0]
+        if d_raw.shape[1] != probe.shape[1]:
             raise SystemExit(
                 f"checkpoint samples {probe.shape[1]}x{probe.shape[2]} images; "
                 f"pass --data with a matching dataset"
             )
+    d01 = np.clip(d_raw, 0.0, 1.0)
 
     if args.holdout:
         rep = evaluate_generalization(

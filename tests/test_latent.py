@@ -485,3 +485,25 @@ def test_latent_ddim_eta_changes_samples_and_stays_finite():
     assert np.isfinite(stoch).all() and not np.allclose(stoch, base)
     fn = make_latent_sampler(dp, ae, eta=1.0, compute_dtype=None, **kw)
     np.testing.assert_allclose(np.asarray(fn(key)), stoch, rtol=2e-5, atol=2e-5)
+
+
+def test_dispatcher_rejects_eta_on_non_ddim_samplers(tiny_imgs, tmp_path):
+    """--eta on a sampler that cannot honor it must hard-fail — silently
+    ignoring it made eta sweeps meaningless (round-5 review)."""
+    from igdm_tpu.sampling.auto import sample_from_checkpoint
+    from igdm_tpu.training.latent import train_autoencoder, train_latent_ddpm
+
+    train_autoencoder(tiny_imgs, epochs=2, batch_size=8, base_ch=8, latent_ch=4,
+                      out_path=str(tmp_path / "ae.npz"), log=None)
+    _, ckpt = train_latent_ddpm(
+        tiny_imgs, str(tmp_path / "ae.npz"), DiffusionConfig(num_steps=4),
+        TrainConfig(batch_size=8, epochs=1, patience=50, checkpoint_every=0),
+        base_ch=8, levels=2, out_dir=str(tmp_path), log=None,
+    )
+    with pytest.raises(ValueError, match="eta"):
+        sample_from_checkpoint(ckpt, jax.random.PRNGKey(0), num_images=1,
+                               sampler="textbook", eta=1.0)
+    # the ddim path accepts it
+    imgs, _ = sample_from_checkpoint(ckpt, jax.random.PRNGKey(0), num_images=1,
+                                     ddim_steps=2, eta=1.0)
+    assert np.isfinite(imgs).all()

@@ -244,3 +244,31 @@ def test_unet4_attn_levels_grad_flows_and_matches_no_flash():
     g = jax.grad(loss)(params)
     gq = np.abs(np.asarray(g["down2"]["attn"]["qkv"]["w"])).max()
     assert gq > 0.0
+
+
+def test_fold_bn_preserves_mid_attention():
+    """fold_bn/apply_folded must compute the SAME function as eval apply()
+    for a mid_attn-equipped unet_small — the folded fast path used to drop
+    the attention block silently (round-5 review)."""
+    import numpy as np
+
+    from igdm_tpu.models import unet_small
+    from igdm_tpu.models.embeddings import timestep_embedding
+
+    params, state = unet_small.init(jax.random.PRNGKey(0), mid_attn=True)
+    # make attention non-identity (proj is zero-init = residual identity)
+    params["attn"]["proj"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(1), params["attn"]["proj"]["w"].shape)
+        * 0.1
+    )
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 1), jnp.float32)
+    t_emb = timestep_embedding(jnp.array([3.0, 7.0]), 128)
+    ref, _ = unet_small.apply(params, state, x, t_emb, train=False)
+    folded = unet_small.fold_bn(params, state)
+    assert "attn" in folded
+    out = unet_small.apply_folded(folded, x, t_emb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+    # and dropping the block really would change the output (guard is live)
+    folded_no = {k: v for k, v in folded.items() if k != "attn"}
+    out_no = unet_small.apply_folded(folded_no, x, t_emb)
+    assert not np.allclose(np.asarray(out_no), np.asarray(ref), atol=1e-4)

@@ -389,3 +389,30 @@ def test_textbook_sampler_bf16_matches_f32():
     )
     assert np.isfinite(np.asarray(bf16)).all()
     assert float(jnp.abs(f32 - bf16).mean()) < 2e-2
+
+
+def test_sample_ddpm_x_init_without_noises():
+    """Explicit x_init with key-derived per-step noise (used to crash on
+    jnp.asarray(None) — round-5 review)."""
+    from igdm_tpu.config import DiffusionConfig
+    from igdm_tpu.models import unet_small
+    from igdm_tpu.sampling.ancestral import sample_ddpm
+
+    params, state = unet_small.init(jax.random.PRNGKey(0))
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1), jnp.float32)
+    out = sample_ddpm(params, state, jax.random.PRNGKey(2), num_images=2,
+                      cfg=DiffusionConfig(num_steps=4), x_init=x0)
+    assert out.shape == (2, 32, 32, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flash_eligibility_mirrors_kernel_block_constraint():
+    """Auto-routing must never select the flash kernel for an N it rejects
+    (block_q=block_k=512 tiling): N=2304 (48x48) was eligible but crashed
+    in _check_shapes (round-5 review)."""
+    from igdm_tpu.ops.attention import _flash_eligible
+
+    assert _flash_eligible(1024, 64)       # 32x32 level: the production site
+    assert _flash_eligible(4096, 64)       # 64x64 maps
+    assert not _flash_eligible(2304, 64)   # 48x48: N % 512 != 0
+    assert not _flash_eligible(512, 64)    # below the measured crossover
