@@ -74,10 +74,50 @@ score("latent-flow-euler8", f"{A}/latent_flow_model.npz", d32, ddim_steps=8, pre
 # 64x64 rows
 score("pix64-mid-attn-ddim50", f"{A}/model64_attn.npz", d64, ddim_steps=50, prefer_ema=True)
 score("pix64-noattn-ddim50", f"{A}/model64.npz", d64, ddim_steps=50, prefer_ema=True)
+score("pix64-attn32-ddim50", f"{A}/model64_attn32.npz", d64, ddim_steps=50, prefer_ema=True)
 score("latent64-ancestral500", f"{A}/latent64_model.npz", d64, sampler="textbook", prefer_ema=True)
 score("latent64-flow-euler8", f"{A}/latent64_flow_model.npz", d64, ddim_steps=8, prefer_ema=True)
 score("latent64-reflow1", f"{A}/latent64_reflow_model.npz", d64, steps=1)
 score("lcm64-1", f"{A}/lcm64_model.npz", d64)
+
+# Conditional purity, corrected frame. PROTOCOL NOTE: the pseudo-labels
+# must be the TRAINING-TIME clustering (cli/train.py clusters (imgs+1)/2
+# of the raw/upscaled images) — the model is conditioned on those exact
+# cluster ids; re-deriving k-means labels from a different frame scores a
+# category error (measured: re-derived labels read chance-level purity on
+# a model that is 3.8x chance under its own labels).
+from igdm_tpu.data.labels import kmeans_labels
+from igdm_tpu.utils.quality import evaluate_guided_purity
+
+raw4 = load_synthetic_images()
+raw64 = upscale_2x(raw4)
+
+
+def purity(tag, path, dataset, labels, s):
+    def gfn(key, want):
+        outs = []
+        for w in np.unique(want):
+            n = int((want == w).sum())
+            im, _ = sample_from_checkpoint(
+                path, jax.random.fold_in(key, int(w)), num_images=n,
+                label=int(w), guidance_scale=s, ddim_steps=50)
+            outs.append((w, im))
+        res = np.zeros((len(want),) + outs[0][1].shape[1:], np.float32)
+        for w, im in outs:
+            res[want == w] = im
+        return res
+
+    rep = evaluate_guided_purity(gfn, dataset, labels, n_samples=512,
+                                 seeds=(0, 1, 2), batch=128)
+    OUT[tag] = rep
+    print(f"{tag}: {rep['mean']:.3f}±{rep['std']:.3f} (chance {rep['chance']:.3f})",
+          flush=True)
+
+
+purity("latent-cond-purity-s16-trainlabels", f"{A}/latent_cond_model.npz",
+       d32, kmeans_labels((raw4 + 1.0) / 2.0, k=8, seed=0), 16.0)
+purity("latent64-cond-purity-s4-trainlabels", f"{A}/latent64_cond_model.npz",
+       d64, kmeans_labels((raw64 + 1.0) / 2.0, k=8, seed=0), 4.0)
 
 with open("artifacts/quality_corrected.json", "w") as f:
     json.dump(OUT, f, indent=1)
