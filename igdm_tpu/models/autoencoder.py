@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from igdm_tpu.ops.nn import conv2d, group_norm, max_pool_2x2, silu, upsample_bilinear_2x
+from igdm_tpu.ops.quant import conv2d_int8_from_f32
 
 
 def _glorot(key, shape, fan_in, fan_out):
@@ -69,17 +70,22 @@ def init(key, *, in_channels: int = 1, base_ch: int = 32, latent_ch: int = 4,
     return {"enc": enc, "dec": dec}
 
 
-def _block(p, cn, gn, x, *, groups=8, compute_dtype=None):
-    h = _conv_cd(p[cn], x, compute_dtype)
+def _block(p, cn, gn, x, *, groups=8, compute_dtype=None, xscale=None):
+    h = _conv_cd(p[cn], x, compute_dtype, xscale=xscale)
     return silu(group_norm(h, p[gn]["scale"], p[gn]["bias"], groups=groups))
 
 
-def _conv_cd(cp, x, compute_dtype):
-    """conv2d with optional bf16 compute (f32 accumulation via the bias add
-    and the f32 GroupNorm statistics downstream — the serving mixed-precision
-    recipe shared with models/unet_small.apply_folded)."""
+def _conv_cd(cp, x, compute_dtype, *, xscale=None):
+    """conv2d with optional reduced-precision compute: bf16 (MXU bf16 rate)
+    or "int8" (symmetric per-channel weight + dynamic per-tensor activation
+    quantization, int32 accumulation — ops/quant.py; the weight quantization
+    constant-folds in baked samplers). Accumulation/bias stay f32, and the
+    f32 GroupNorm statistics downstream re-center quantization error — the
+    serving mixed-precision recipe shared with models/unet_small.apply_folded."""
     if compute_dtype is None:
         return conv2d(x, cp["w"], cp["b"])
+    if compute_dtype == "int8":
+        return conv2d_int8_from_f32(x, cp["w"], cp["b"], xscale=xscale)
     h = conv2d(x.astype(compute_dtype), cp["w"].astype(compute_dtype))
     return h.astype(jnp.float32) + cp["b"].reshape(1, 1, 1, -1)
 
@@ -101,19 +107,49 @@ def encode(params, x):
     return mean, jnp.clip(logvar, -20.0, 10.0)
 
 
-def decode(params, z, *, compute_dtype=None):
+def decode(params, z, *, compute_dtype=None, act_scales=None, _tap=None):
     """(B, H/2^d, W/2^d, latent_ch) -> (B, H, W, C) reconstruction (linear
     head; the data is [-1, 1]-ranged but unclamped, matching the samplers).
 
     compute_dtype: jnp.bfloat16 runs the decoder convs at the MXU bf16 rate
     (serving path — outputs differ from f32 only by bf16 rounding; GroupNorm
-    statistics stay f32)."""
+    statistics stay f32). "int8" runs the 3x3 blocks at the MXU int8 rate
+    (ops/quant.py; measured +57% over bf16 at the hot 32x32 conv) — the 1x1
+    output head stays f32 there, since it writes the image directly and its
+    FLOP share is negligible.
+
+    act_scales: optional {conv_name: static activation scale} from
+    calibrate_decode_int8 — removes the per-conv dynamic abs-max pass, which
+    is the difference between a win and a loss on this bandwidth-bound path
+    (BASELINE.md round-5 int8 section). _tap(name, x) is the calibration
+    recording hook."""
     d = params["dec"]
-    h = _block(d, "conv1", "gn1", z, compute_dtype=compute_dtype)
+
+    def blk(name, gn_name, x):
+        if _tap is not None:
+            _tap(name, x)
+        xs = None if act_scales is None else act_scales.get(name)
+        return _block(d, name, gn_name, x, compute_dtype=compute_dtype, xscale=xs)
+
+    h = blk("conv1", "gn1", z)
     for i in range(_depth(d, "up")):
         h = upsample_bilinear_2x(h)
-        h = _block(d, f"up{i + 1}", f"ugn{i + 1}", h, compute_dtype=compute_dtype)
-    return _conv_cd(d["head"], h, compute_dtype)
+        h = blk(f"up{i + 1}", f"ugn{i + 1}", h)
+    return _conv_cd(d["head"], h, None if compute_dtype == "int8" else compute_dtype)
+
+
+def calibrate_decode_int8(params, z):
+    """One-batch activation-scale calibration for int8 decode: record each
+    conv input's abs-max on representative latents, return
+    {conv_name: float scale} for decode(act_scales=...). Offline/eager —
+    serving programs then carry the scales as compile-time constants."""
+    scales = {}
+
+    def tap(name, x):
+        scales[name] = float(jnp.maximum(jnp.max(jnp.abs(x)), 1e-12)) / 127.0
+
+    decode(params, z, _tap=tap)
+    return scales
 
 
 def vae_loss(params, x, key, *, kl_weight: float = 1e-4):

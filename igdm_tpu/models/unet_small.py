@@ -34,6 +34,7 @@ from igdm_tpu.ops.nn import (
     conv_transpose2d,
     max_pool_2x2,
 )
+from igdm_tpu.ops.quant import conv2d_int8_from_f32
 
 EMBED_DIM = 128
 
@@ -348,21 +349,37 @@ def fold_bn(params, state, *, eps: float = 1e-5):
     return folded
 
 
-def apply_folded(folded, x, t_emb, *, compute_dtype=None, decompose_time_conv=False):
+def apply_folded(folded, x, t_emb, *, compute_dtype=None, decompose_time_conv=False,
+                 act_scales=None, _tap=None):
     """Inference forward with BN pre-folded (see :func:`fold_bn`).
 
     compute_dtype: jnp.bfloat16 runs the convs on the MXU at 2x fp32 rate
     (measured 167 vs 82 TF/s for the 64-channel 3x3 convs at batch 256);
-    the output is cast back to float32.
+    the output is cast back to float32. The string "int8" runs the 3x3
+    convs in int8 (s8 x s8 -> s32 on the MXU, ops/quant.py) with bf16 glue
+    — requires `act_scales`, static per-conv activation scales from a
+    calibration pass (`_tap(name, h)` is the recording hook; keys are
+    "down1.conv2", "up1.conv1", ...). The ConvT and the 1x1 head stay bf16
+    (pixel-shuffle einsum / image-writing head).
     decompose_time_conv: replace the (C+D)-channel first conv with the exact
     spatially-constant decomposition (see :func:`_conv1_time_decomposed`).
     """
-    dt = compute_dtype or x.dtype
+    int8_mode = compute_dtype == "int8"
+    if int8_mode and act_scales is None and _tap is None:
+        raise ValueError("compute_dtype='int8' requires act_scales (calibrate first)")
+    dt = jnp.bfloat16 if int8_mode else (compute_dtype or x.dtype)
 
     def cc(p):  # cast conv params
         return p["w"].astype(dt), p["b"].astype(jnp.float32)
 
-    def conv_relu(p, h):
+    def conv_relu(p, h, name=None):
+        if _tap is not None and name is not None:
+            _tap(name, h)
+        if int8_mode and name is not None and act_scales is not None:
+            y = conv2d_int8_from_f32(
+                h.astype(jnp.float32), p["w"], p["b"], xscale=act_scales[name]
+            )
+            return jax.nn.relu(y).astype(dt)
         w, b = cc(p)
         return jax.nn.relu(conv2d(h, w, b).astype(dt))
 
@@ -378,10 +395,12 @@ def apply_folded(folded, x, t_emb, *, compute_dtype=None, decompose_time_conv=Fa
         tmap = jnp.broadcast_to(t_emb[:, None, None, :], (b_, h_, w_, t_emb.shape[-1]))
         xin = jnp.concatenate([x, tmap], axis=-1).astype(dt)
         h1 = conv_relu(folded["down1"]["conv1"], xin)
-    h1 = conv_relu(folded["down1"]["conv2"], h1)
+    h1 = conv_relu(folded["down1"]["conv2"], h1, "down1.conv2")
     h = max_pool_2x2(h1)
-    h = conv_relu(folded["down2"]["conv2"], conv_relu(folded["down2"]["conv1"], h))
-    h = conv_relu(folded["mid"]["conv2"], conv_relu(folded["mid"]["conv1"], h))
+    h = conv_relu(folded["down2"]["conv2"],
+                  conv_relu(folded["down2"]["conv1"], h, "down2.conv1"), "down2.conv2")
+    h = conv_relu(folded["mid"]["conv2"],
+                  conv_relu(folded["mid"]["conv1"], h, "mid.conv1"), "mid.conv2")
     if "attn" in folded:  # mirror apply(): residual self-attention, f32
         from igdm_tpu.ops.attention import spatial_self_attention
 
@@ -390,10 +409,12 @@ def apply_folded(folded, x, t_emb, *, compute_dtype=None, decompose_time_conv=Fa
     # bf16 end to end: the f32 default cost ~180 us/step in a 67 MB f32
     # pixel-shuffle intermediate + layout transpose (BASELINE.md round-3)
     h = conv_transpose2d(h, wt, bt.astype(dt), stride=2, preferred_dtype=dt).astype(dt)
-    h = conv_relu(folded["up2"]["conv2"], conv_relu(folded["up2"]["conv1"], h))
+    h = conv_relu(folded["up2"]["conv2"],
+                  conv_relu(folded["up2"]["conv1"], h, "up2.conv1"), "up2.conv2")
     hh, ww = h.shape[1], h.shape[2]
     h = jnp.concatenate([h, h1[:, :hh, :ww, :]], axis=-1)
-    h = conv_relu(folded["up1"]["conv2"], conv_relu(folded["up1"]["conv1"], h))
+    h = conv_relu(folded["up1"]["conv2"],
+                  conv_relu(folded["up1"]["conv1"], h, "up1.conv1"), "up1.conv2")
     wf, bf = cc(folded["final"])
     # the 1x1 head stays in conv form: the per-pixel-matmul einsum
     # formulation measured 2x SLOWER end-to-end (2435 vs 1224 us/step,

@@ -1,0 +1,104 @@
+"""Int8 quantized-conv serving path (ops/quant.py + model wiring).
+
+The reference has no quantization (f32 CPU BLAS throughout,
+/root/reference/src/train_brain.jl:36); this is the TPU-native int8 MXU
+serving study — the chip-measured outcomes (pixel T=500 +20% throughput
+with a quality cost; decode negative) live in BASELINE.md round-5 int8
+section. These tests pin the numerics contract on the CPU backend.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from igdm_tpu.models import autoencoder, unet_small
+from igdm_tpu.ops.nn import conv2d
+from igdm_tpu.ops.quant import (
+    conv2d_int8,
+    conv2d_int8_from_f32,
+    quantize_weight_int8,
+)
+
+
+def test_weight_quant_roundtrip_error_bound():
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (3, 3, 16, 8), jnp.float32) * 0.2
+    wq, scale = quantize_weight_int8(w)
+    assert wq.dtype == jnp.int8 and scale.shape == (8,)
+    # symmetric rounding: dequantized weight within half an lsb per channel
+    err = np.abs(np.asarray(wq, np.float32) * np.asarray(scale) - np.asarray(w))
+    assert (err <= 0.5 * np.asarray(scale) + 1e-7).all()
+    # the per-channel max hits full scale (127) exactly
+    assert np.abs(np.asarray(wq)).max(axis=(0, 1, 2)).min() == 127
+
+
+def test_conv2d_int8_close_to_f32():
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (2, 8, 8, 16), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 16, 8), jnp.float32) * 0.1
+    b = jax.random.normal(jax.random.fold_in(key, 2), (8,), jnp.float32) * 0.01
+    ref = conv2d(x, w, b)
+    got = conv2d_int8_from_f32(x, w, b)
+    rel = float(jnp.sqrt(jnp.mean((got - ref) ** 2)) / jnp.sqrt(jnp.mean(ref**2)))
+    assert rel < 0.03, rel  # ~1% typical for 8-bit weights+activations
+
+
+def test_conv2d_int8_static_scale_matches_dynamic():
+    key = jax.random.PRNGKey(2)
+    x = jax.random.normal(key, (2, 8, 8, 4), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 4, 4), jnp.float32)
+    wq, ws = quantize_weight_int8(w)
+    dyn = conv2d_int8(x, wq, ws)
+    stat = conv2d_int8(x, wq, ws, xscale=jnp.float32(float(jnp.max(jnp.abs(x))) / 127.0))
+    np.testing.assert_allclose(np.asarray(dyn), np.asarray(stat), atol=1e-5)
+
+
+def test_decode_int8_close_and_calibrated():
+    key = jax.random.PRNGKey(3)
+    params = autoencoder.init(key, base_ch=8, latent_ch=4, depth=2)
+    z = jax.random.normal(jax.random.fold_in(key, 1), (4, 8, 8, 4), jnp.float32)
+    ref = autoencoder.decode(params, z)
+    got_dyn = autoencoder.decode(params, z, compute_dtype="int8")
+    scales = autoencoder.calibrate_decode_int8(params, z)
+    assert set(scales) == {"conv1", "up1", "up2"}
+    got_stat = autoencoder.decode(params, z, compute_dtype="int8", act_scales=scales)
+    for got in (got_dyn, got_stat):
+        assert got.shape == ref.shape
+        rel = float(jnp.sqrt(jnp.mean((got - ref) ** 2)) / jnp.sqrt(jnp.mean(ref**2)))
+        assert rel < 0.10, rel
+    # static scales come from the f32 chain, dynamic from the quantized
+    # chain's own (slightly different) activations — close, not identical
+    # (fresh-init weights amplify the tail, so bound rmse + the 99th pct)
+    d = np.abs(np.asarray(got_stat) - np.asarray(got_dyn))
+    assert float(np.sqrt((d**2).mean())) < 0.05
+    assert float(np.quantile(d, 0.99)) < 0.12
+
+
+def test_apply_folded_int8_requires_scales_and_tracks_f32():
+    key = jax.random.PRNGKey(4)
+    params, state = unet_small.init(key)
+    folded = unet_small.fold_bn(params, state)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (2, 32, 32, 1), jnp.float32)
+    t_emb = jnp.ones((2, 128), jnp.float32) * 0.1
+
+    with pytest.raises(ValueError):
+        unet_small.apply_folded(folded, x, t_emb, compute_dtype="int8")
+
+    # calibrate via the tap, then the int8 forward tracks the f32 one
+    scales = {}
+
+    def tap(name, h):
+        scales[name] = float(jnp.max(jnp.abs(h.astype(jnp.float32)))) / 127.0
+
+    ref = unet_small.apply_folded(folded, x, t_emb, _tap=tap)
+    assert set(scales) == {
+        "down1.conv2", "down2.conv1", "down2.conv2", "mid.conv1", "mid.conv2",
+        "up2.conv1", "up2.conv2", "up1.conv1", "up1.conv2",
+    }
+    got = unet_small.apply_folded(
+        folded, x, t_emb, compute_dtype="int8", act_scales=scales
+    )
+    assert got.shape == ref.shape and got.dtype == jnp.float32
+    rel = float(jnp.sqrt(jnp.mean((got - ref) ** 2)) / jnp.sqrt(jnp.mean(ref**2)))
+    assert rel < 0.15, rel  # one fresh-init forward; serving error measured on chip
