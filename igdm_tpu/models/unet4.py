@@ -29,6 +29,7 @@ from igdm_tpu.ops.nn import (
     silu,
     upsample_bilinear_2x,
 )
+from igdm_tpu.ops.quant import conv2d_int8_from_f32
 
 TIME_DIM = 128
 
@@ -166,10 +167,14 @@ def init(
     return params
 
 
-def _apply_block(p, x, *, groups=8, use_pallas=None, compute_dtype=None):
+def _apply_block(p, x, *, groups=8, use_pallas=None, compute_dtype=None,
+                 act_scales=None, prefix=None, _tap=None):
     from igdm_tpu.ops.pallas.fused_groupnorm_silu import groupnorm_silu
 
-    if compute_dtype is not None and not use_pallas:
+    int8_mode = compute_dtype == "int8"
+    if int8_mode and act_scales is None and _tap is None:
+        raise ValueError("compute_dtype='int8' requires act_scales (calibrate first)")
+    if compute_dtype is not None and not int8_mode and not use_pallas:
         # mixed precision: bf16 conv (fwd and both backward matmuls at the
         # MXU bf16 rate) straight into the fused GroupNorm+SiLU custom-VJP
         # op — one-pass f32 statistics over the raw bf16 conv output (the
@@ -185,17 +190,30 @@ def _apply_block(p, x, *, groups=8, use_pallas=None, compute_dtype=None):
             )
         return h
 
-    def conv(x, cp):
+    def conv(x, cp, name=None):
+        if _tap is not None and name is not None:
+            # calibration hook: record the conv input (f32 chain) abs-max
+            _tap(name if prefix is None else f"{prefix}.{name}", x)
+        if int8_mode and name is not None and act_scales is not None:
+            # int8 MXU conv with static calibrated activation scales
+            # (ops/quant.py); f32 dequant feeds the f32 GroupNorm, which
+            # re-centers the quantization noise.
+            full = name if prefix is None else f"{prefix}.{name}"
+            return conv2d_int8_from_f32(
+                x.astype(jnp.float32), cp["w"], cp["b"], xscale=act_scales[full]
+            )
+        if int8_mode:
+            return conv2d(x, cp["w"], cp["b"])  # calibration pass: f32
         if compute_dtype is not None:
             return conv2d(x.astype(compute_dtype), cp["w"].astype(compute_dtype)).astype(
                 jnp.float32
             ) + cp["b"].reshape(1, 1, 1, -1)
         return conv2d(x, cp["w"], cp["b"])
 
-    h = conv(x, p["conv1"])
+    h = conv(x, p["conv1"], "conv1")
     h = groupnorm_silu(h, p["gn1"]["scale"], p["gn1"]["bias"], groups=groups, use_pallas=use_pallas)
     if "conv2" in p:
-        h = conv(h, p["conv2"])
+        h = conv(h, p["conv2"], "conv2")
         h = groupnorm_silu(
             h, p["gn2"]["scale"], p["gn2"]["bias"], groups=groups, use_pallas=use_pallas
         )
@@ -221,13 +239,17 @@ def apply(
     use_pallas: bool | None = None,
     compute_dtype=None,
     labels=None,
+    act_scales=None,
+    _tap=None,
 ):
     """Forward pass: x (B,H,W,C), ts (B,) integer timesteps -> (B,H,W,out_channels).
 
     ``use_pallas``: route GroupNorm+SiLU through the fused Pallas kernel
     (default: auto — on for TPU backends).
     ``compute_dtype``: jnp.bfloat16 for mixed-precision convs (f32 master
-    params and GroupNorm statistics).
+    params and GroupNorm statistics); "int8" for the quantized serving
+    path (ops/quant.py — requires ``act_scales``, a {"down1.conv1": scale}
+    dict from a calibration pass recorded via ``_tap(name, x)``).
     ``labels``: (B,) int class ids for a class-conditional model (params
     built with ``num_classes``); the learned embedding adds to the raw
     timestep embedding before the time MLP. ``None`` on a conditional
@@ -250,7 +272,9 @@ def apply(
     h = x
     for i in range(1, levels + 1):
         name = f"down{i}"
-        h = _apply_block(params[name]["block"], h, groups=groups, use_pallas=use_pallas, compute_dtype=compute_dtype)
+        h = _apply_block(params[name]["block"], h, groups=groups, use_pallas=use_pallas,
+                         compute_dtype=compute_dtype, act_scales=act_scales,
+                         prefix=name, _tap=_tap)
         h = _add_time(params[name], h, tfeat)
         if "attn" in params[name]:
             from igdm_tpu.ops.attention import spatial_self_attention
@@ -266,7 +290,9 @@ def apply(
         skips.append(h)
         h = max_pool_2x2(h)
 
-    h = _apply_block(params["mid"]["block"], h, groups=groups, use_pallas=use_pallas, compute_dtype=compute_dtype)
+    h = _apply_block(params["mid"]["block"], h, groups=groups, use_pallas=use_pallas,
+                     compute_dtype=compute_dtype, act_scales=act_scales,
+                     prefix="mid", _tap=_tap)
     h = _add_time(params["mid"], h, tfeat)
     if "attn" in params:
         from igdm_tpu.ops.attention import spatial_self_attention
@@ -277,7 +303,9 @@ def apply(
         name = f"up{i}"
         h = upsample_bilinear_2x(h)
         h = jnp.concatenate([h, skip], axis=-1)
-        h = _apply_block(params[name]["block"], h, groups=groups, use_pallas=use_pallas, compute_dtype=compute_dtype)
+        h = _apply_block(params[name]["block"], h, groups=groups, use_pallas=use_pallas,
+                         compute_dtype=compute_dtype, act_scales=act_scales,
+                         prefix=name, _tap=_tap)
         h = _add_time(params[name], h, tfeat)
         if "attn" in params[name]:
             from igdm_tpu.ops.attention import spatial_self_attention

@@ -108,6 +108,62 @@ def sample_consistency(
     )
 
 
+def calibrate_consistency_int8(
+    params,
+    grid,
+    key,
+    *,
+    cfg: DiffusionConfig | None = None,
+    num_images: int = 256,
+    steps: int = 1,
+    image_size: tuple = (32, 32),
+    channels: int = 1,
+    model_state=None,
+    sigma_data: float = SIGMA_DATA,
+    n_keys: int = 2,
+    headroom: float = 1.05,
+):
+    """Per-conv activation scales for the int8 consistency serving path
+    (unet4 only): replays the ACTUAL sampling recursion eagerly (python-
+    stepped; serving step counts are 1-4) recording each conv input's
+    abs-max across ``n_keys`` noise draws. Counterpart of
+    :func:`igdm_tpu.sampling.flow.calibrate_flow_int8`."""
+    from igdm_tpu.models import unet4
+
+    cfg = cfg or DiffusionConfig()
+    ab = jnp.asarray(alphas_cumprod(betas_for_config(cfg)), jnp.float32)
+    ab_ext = jnp.concatenate([jnp.ones((1,), jnp.float32), ab])
+    g = np.asarray(grid)
+    mids = _mid_indices(int(g.shape[0]) - 1, steps)
+    mstate = model_state if model_state is not None else {}
+    H, W = image_size
+    amax: dict = {}
+
+    def apply_fn(p, ms, x_t, ts, train):
+        collect: dict = {}
+        out = unet4.apply(
+            p, x_t, ts, final_sigmoid=False,
+            _tap=lambda n, h: collect.__setitem__(n, jnp.max(jnp.abs(h))),
+        )
+        for n, a in collect.items():
+            amax[n] = max(amax.get(n, 0.0), float(a))
+        return out, ms
+
+    for i in range(n_keys):
+        k0, km = jax.random.split(jax.random.fold_in(key, i))
+        x = jax.random.normal(k0, (num_images, H, W, channels), jnp.float32)
+        tb = jnp.full((num_images,), int(g[-1]), jnp.int32)
+        x0 = consistency_fn(apply_fn, params, mstate, x, tb, ab_ext, sigma_data)
+        for j, n in enumerate(mids):
+            t = jnp.full((num_images,), int(g[n]), jnp.int32)
+            a_t, s_t = (c.reshape(-1, 1, 1, 1) for c in _coeffs(ab_ext, t))
+            eps = jax.random.normal(jax.random.fold_in(km, j), x0.shape, jnp.float32)
+            x0 = consistency_fn(
+                apply_fn, params, mstate, a_t * x0 + s_t * eps, t, ab_ext, sigma_data
+            )
+    return {n: a * headroom / 127.0 for n, a in amax.items()}
+
+
 def make_consistency_sampler(
     params,
     grid,
@@ -121,11 +177,16 @@ def make_consistency_sampler(
     model_state=None,
     sigma_data: float = SIGMA_DATA,
     compute_dtype=None,
+    act_scales=None,
 ):
     """Serving-style sampler: weights baked as XLA constants,
     ``fn(key) -> images`` in ``steps`` model calls (bf16 ``compute_dtype``
     runs the U-Net convs at the MXU bf16 rate; the f/re-noise algebra stays
-    f32)."""
+    f32). ``compute_dtype="int8"`` (unet4 only) runs the convs on the int8
+    MXU path with static calibrated activation scales (auto-calibrated
+    here unless ``act_scales`` is given) — measured +18%-class gains at
+    the pixel 1-call shapes, a net loss at 8x8-latent shapes (BASELINE.md
+    round-5 int8 section)."""
     from igdm_tpu.training.ddpm import make_apply_fn
 
     cfg = cfg or DiffusionConfig()
@@ -133,7 +194,28 @@ def make_consistency_sampler(
     ab_ext = jnp.concatenate([jnp.ones((1,), jnp.float32), ab])
     g = jnp.asarray(np.asarray(grid), jnp.int32)
     mids = jnp.asarray(_mid_indices(int(g.shape[0]) - 1, steps), jnp.int32)
-    apply_fn = make_apply_fn(model_kind, cfg.embed_dim, compute_dtype=compute_dtype)
+    if compute_dtype == "int8":
+        if model_kind != "unet4":
+            raise ValueError("int8 consistency serving supports unet4 only")
+        from igdm_tpu.models import unet4
+
+        if act_scales is None:
+            act_scales = calibrate_consistency_int8(
+                params, grid, jax.random.PRNGKey(0), cfg=cfg,
+                num_images=min(num_images, 256), steps=steps,
+                image_size=tuple(image_size), channels=channels,
+                model_state=model_state, sigma_data=sigma_data,
+            )
+        scales = act_scales
+
+        def apply_fn(p, ms, x_t, ts, train):
+            return (
+                unet4.apply(p, x_t, ts, final_sigmoid=False,
+                            compute_dtype="int8", act_scales=scales),
+                ms,
+            )
+    else:
+        apply_fn = make_apply_fn(model_kind, cfg.embed_dim, compute_dtype=compute_dtype)
     mstate = model_state if model_state is not None else {}
 
     @jax.jit

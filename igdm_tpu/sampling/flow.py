@@ -24,18 +24,78 @@ from igdm_tpu.models import unet4
 from igdm_tpu.training.flow import TIME_SCALE
 
 
-def make_flow_velocity_fn(params, *, time_scale: float = TIME_SCALE, compute_dtype=None):
+def make_flow_velocity_fn(params, *, time_scale: float = TIME_SCALE, compute_dtype=None,
+                          act_scales=None):
     """Wrap unet4 params as ``velocity_fn(x, t_scalar) -> v`` with the
     training-time conditioning convention (t in [0,1] scaled by
-    ``time_scale`` into the sinusoidal embedding domain)."""
+    ``time_scale`` into the sinusoidal embedding domain).
+
+    act_scales: static per-conv activation scales for
+    ``compute_dtype="int8"`` (see :func:`calibrate_flow_int8`)."""
 
     def velocity_fn(x, t):
         ts = jnp.full((x.shape[0],), t, jnp.float32) * time_scale
         return unet4.apply(
-            params, x, ts, final_sigmoid=False, compute_dtype=compute_dtype
+            params, x, ts, final_sigmoid=False, compute_dtype=compute_dtype,
+            act_scales=act_scales,
         )
 
     return velocity_fn
+
+
+def calibrate_flow_int8(
+    params,
+    key,
+    *,
+    steps: int = 1,
+    method: str = "euler",
+    time_scale: float = TIME_SCALE,
+    num_images: int = 256,
+    image_size=(32, 32),
+    channels: int = 1,
+    n_keys: int = 2,
+    headroom: float = 1.05,
+):
+    """Per-conv activation scales for the int8 flow serving path.
+
+    Runs the ACTUAL ODE trajectory (eager, python-stepped — serving step
+    counts are 1-8) recording each conv input's abs-max at every
+    evaluation point across ``n_keys`` noise draws, then adds ``headroom``.
+    Static scales remove the per-conv abs-max pass that made dynamic
+    quantization a net loss on bandwidth-bound paths (BASELINE.md round-5
+    int8 section); the chip A/B for reflow-1 measured +18% over bf16 at
+    statistically identical 512x3 quality."""
+    H, W = image_size
+    amax: dict = {}
+
+    def vfn(x, t):
+        collect: dict = {}
+        ts = jnp.full((x.shape[0],), t, jnp.float32) * time_scale
+        v = unet4.apply(
+            params, x, ts, final_sigmoid=False,
+            _tap=lambda n, h: collect.__setitem__(n, jnp.max(jnp.abs(h))),
+        )
+        for n, a in collect.items():
+            amax[n] = max(amax.get(n, 0.0), float(a))
+        return v
+
+    import numpy as _np
+
+    tgrid = _np.linspace(1.0, 0.0, steps + 1)
+    for i in range(n_keys):
+        x = jax.random.normal(
+            jax.random.fold_in(key, i), (num_images, H, W, channels), jnp.float32
+        )
+        for t_cur, t_next in zip(tgrid[:-1], tgrid[1:]):
+            dt = float(t_next - t_cur)
+            v = vfn(x, float(t_cur))
+            if method == "euler":
+                x = x + dt * v
+            else:  # heun — both evaluation points contribute statistics
+                x_pred = x + dt * v
+                v_next = vfn(x_pred, float(t_next))
+                x = x + dt * 0.5 * (v + v_next)
+    return {n: a * headroom / 127.0 for n, a in amax.items()}
 
 
 def sample_flow_ode(
@@ -97,6 +157,7 @@ def make_flow_sampler(
     method: str = "euler",
     time_scale: float = TIME_SCALE,
     compute_dtype=None,
+    act_scales=None,
 ):
     """Compile a serving-style flow sampler: weights baked in as XLA
     constants, ``fn(key) -> images`` in ``steps`` (Euler) or ``2*steps``
@@ -104,9 +165,22 @@ def make_flow_sampler(
     :func:`igdm_tpu.sampling.ancestral.make_distilled_sampler`. Use with a
     reflowed checkpoint (training/flow.train_reflow) for the few-step
     low-latency operating points; ``compute_dtype=jnp.bfloat16`` runs the
-    U-Net convs at the MXU bf16 rate with the ODE update kept in f32."""
+    U-Net convs at the MXU bf16 rate with the ODE update kept in f32, and
+    ``compute_dtype="int8"`` the int8 MXU path (auto-calibrating static
+    activation scales here unless ``act_scales`` is given — measured +18%
+    over bf16 at statistically identical 512x3 quality for pixel
+    reflow-1; NOT recommended for 8x8-latent students, where tiny tensors
+    make the quantization glue a net loss — BASELINE.md round-5 int8
+    section)."""
+    if compute_dtype == "int8" and act_scales is None:
+        act_scales = calibrate_flow_int8(
+            params, jax.random.PRNGKey(0), steps=steps, method=method,
+            time_scale=time_scale, num_images=min(num_images, 256),
+            image_size=tuple(image_size), channels=channels,
+        )
     vfn = make_flow_velocity_fn(
-        params, time_scale=time_scale, compute_dtype=compute_dtype
+        params, time_scale=time_scale, compute_dtype=compute_dtype,
+        act_scales=act_scales,
     )
     H, W = image_size
 

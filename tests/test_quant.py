@@ -102,3 +102,56 @@ def test_apply_folded_int8_requires_scales_and_tracks_f32():
     assert got.shape == ref.shape and got.dtype == jnp.float32
     rel = float(jnp.sqrt(jnp.mean((got - ref) ** 2)) / jnp.sqrt(jnp.mean(ref**2)))
     assert rel < 0.15, rel  # one fresh-init forward; serving error measured on chip
+
+
+def test_unet4_int8_and_flow_calibration():
+    from igdm_tpu.models import unet4
+    from igdm_tpu.sampling.flow import calibrate_flow_int8, make_flow_sampler
+
+    key = jax.random.PRNGKey(5)
+    params = unet4.init(key, base_ch=8, levels=2)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (2, 16, 16, 1), jnp.float32)
+    ts = jnp.full((2,), 100.0, jnp.float32)
+
+    with pytest.raises(ValueError):
+        unet4.apply(params, x, ts, compute_dtype="int8")
+
+    ref = unet4.apply(params, x, ts, final_sigmoid=False)
+    scales = calibrate_flow_int8(
+        params, key, steps=2, num_images=2, image_size=(16, 16), n_keys=1
+    )
+    # every conv of the 2-level net got a scale
+    assert {"down1.conv1", "down2.conv2", "mid.conv2", "up0.conv1",
+            "up1.conv2"} <= set(scales)
+    got = unet4.apply(params, x, ts, final_sigmoid=False,
+                      compute_dtype="int8", act_scales=scales)
+    assert got.shape == ref.shape
+    rel = float(jnp.sqrt(jnp.mean((got - ref) ** 2)) / jnp.sqrt(jnp.mean(ref**2)))
+    assert rel < 0.25, rel  # fresh-init net; trained-model error measured on chip
+
+    # the baked int8 serving sampler auto-calibrates and runs end to end
+    fn = make_flow_sampler(params, num_images=2, steps=1, method="euler",
+                           image_size=(16, 16), compute_dtype="int8")
+    out = fn(jax.random.PRNGKey(0))
+    assert out.shape == (2, 16, 16, 1) and bool(jnp.isfinite(out).all())
+
+
+def test_consistency_int8_sampler_runs():
+    from igdm_tpu.models import unet4
+    from igdm_tpu.sampling.consistency import make_consistency_sampler
+
+    key = jax.random.PRNGKey(6)
+    params = unet4.init(key, base_ch=8, levels=2)
+    grid = [0, 125, 250, 375, 500]
+    fn = make_consistency_sampler(
+        params, grid, num_images=2, steps=2, image_size=(16, 16),
+        compute_dtype="int8",
+    )
+    out = fn(jax.random.PRNGKey(1))
+    assert out.shape == (2, 16, 16, 1) and bool(jnp.isfinite(out).all())
+
+    with pytest.raises(ValueError):
+        make_consistency_sampler(
+            params, grid, num_images=2, model_kind="unet_small",
+            compute_dtype="int8",
+        )
