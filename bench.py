@@ -160,7 +160,11 @@ def bench_distilled(path: str, batch: int = 256, R: int = 20):
     """Distilled-student serving throughput (8 deterministic steps/traj).
 
     Timing per docs/design.md: R trajectories scanned INSIDE one program
-    (amortizes the relay dispatch), scalar-only fetch."""
+    (amortizes the relay dispatch), scalar-only fetch. Round-5 config:
+    int8 MXU convs, static calibrated scales — measured +18.8% over bf16
+    (7,909 vs 6,656 samples/s) at statistically identical 512x3 quality
+    (nn_mse 0.0655+-0.0015 vs 0.0676+-0.0014; BASELINE.md round-5 int8
+    section)."""
     import jax.lax as lax
 
     from igdm_tpu.checkpoint.pytree_io import load_for_sampling
@@ -173,7 +177,7 @@ def bench_distilled(path: str, batch: int = 256, R: int = 20):
     grid = meta["distill"]["grid"]
     fn = make_distilled_sampler(
         params, grid, cfg=cfg, num_images=batch,
-        model_kind=meta.get("model", "unet4"),
+        model_kind=meta.get("model", "unet4"), compute_dtype="int8",
     )
 
     return _time_scan_repeat(fn, batch, R), len(grid) - 1

@@ -700,6 +700,57 @@ def _sample_heun_impl(
     return jnp.clip(xe, -1.0, 1.0)  # final alpha = 1 at t=0
 
 
+def calibrate_distilled_int8(
+    params,
+    grid,
+    key,
+    *,
+    cfg: DiffusionConfig | None = None,
+    num_images: int = 256,
+    image_size: tuple = (32, 32),
+    channels: int = 1,
+    model_state=None,
+    n_keys: int = 2,
+    headroom: float = 1.05,
+):
+    """Per-conv activation scales for the int8 distilled-student path
+    (unet4 only): replays the student's ACTUAL deterministic DDIM
+    recursion eagerly (len(grid)-1 steps), recording each conv input's
+    abs-max across ``n_keys`` noise draws — the distilled counterpart of
+    :func:`igdm_tpu.sampling.flow.calibrate_flow_int8`."""
+    from igdm_tpu.models import unet4
+
+    cfg = cfg or DiffusionConfig()
+    g = np.asarray(grid)
+    alpha_bar = _alpha_bar(cfg)
+    ab_ext = jnp.concatenate([jnp.ones((1,), jnp.float32), alpha_bar])
+    mstate = model_state if model_state is not None else {}
+    H, W = image_size
+    amax: dict = {}
+
+    def base(p, ms, x_t, tvec, train):
+        collect: dict = {}
+        out = unet4.apply(
+            p, x_t, tvec, final_sigmoid=False,
+            _tap=lambda n, h: collect.__setitem__(n, jnp.max(jnp.abs(h))),
+        )
+        for n, a in collect.items():
+            amax[n] = max(amax.get(n, 0.0), float(a))
+        return out, ms
+
+    apply_fn = v_to_eps_apply_fn(base, alpha_bar)
+    for i in range(n_keys):
+        x = jax.random.normal(
+            jax.random.fold_in(key, i), (num_images, H, W, channels), jnp.float32
+        )
+        for t, t_prev in zip(g[1:][::-1].astype(int), g[:-1][::-1].astype(int)):
+            eps, _ = apply_fn(
+                params, mstate, x, jnp.full((num_images,), t, jnp.int32), False
+            )
+            x = ddim_step(x, eps, ab_ext[t], ab_ext[t_prev], eta=0.0, noise=None)
+    return {n: a * headroom / 127.0 for n, a in amax.items()}
+
+
 def make_distilled_sampler(
     params,
     grid,
@@ -711,6 +762,7 @@ def make_distilled_sampler(
     model_kind: str = "unet4",
     model_state=None,
     compute_dtype=None,
+    act_scales=None,
 ):
     """Compile a serving-style sampler for a progressively-distilled student
     (training/distill.distill_ddpm): weights baked in as XLA constants,
@@ -720,7 +772,10 @@ def make_distilled_sampler(
     an 8-step student replaces the reference's T-step host loop
     (src/generate_images.jl:231-245) with 8 fused device steps.
     compute_dtype=jnp.bfloat16 runs the U-Net convs at the MXU bf16 rate
-    with the DDIM update rule kept in f32.
+    with the DDIM update rule kept in f32; "int8" (unet4 only) runs them
+    on the int8 MXU path with static calibrated activation scales
+    (auto-calibrated here unless ``act_scales`` is given — the quality
+    gate for each leg lives in BASELINE.md round-5 int8 section).
     """
     from igdm_tpu.training.ddpm import make_apply_fn
 
@@ -729,9 +784,32 @@ def make_distilled_sampler(
     ts = jnp.asarray(grid[1:][::-1].copy().astype(np.int32))
     ts_prev = jnp.asarray(grid[:-1][::-1].copy().astype(np.int32))
     alpha_bar = _alpha_bar(cfg)
-    apply_fn = v_to_eps_apply_fn(
-        make_apply_fn(model_kind, cfg.embed_dim, compute_dtype=compute_dtype), alpha_bar
-    )
+    if compute_dtype == "int8":
+        if model_kind != "unet4":
+            raise ValueError("int8 distilled serving supports unet4 only")
+        from igdm_tpu.models import unet4 as _unet4
+
+        if act_scales is None:
+            act_scales = calibrate_distilled_int8(
+                params, grid, jax.random.PRNGKey(0), cfg=cfg,
+                num_images=min(num_images, 256), image_size=tuple(image_size),
+                channels=channels, model_state=model_state,
+            )
+        scales = act_scales
+
+        def _base(p, ms, x_t, tvec, train):
+            return (
+                _unet4.apply(p, x_t, tvec, final_sigmoid=False,
+                             compute_dtype="int8", act_scales=scales),
+                ms,
+            )
+
+        apply_fn = v_to_eps_apply_fn(_base, alpha_bar)
+    else:
+        apply_fn = v_to_eps_apply_fn(
+            make_apply_fn(model_kind, cfg.embed_dim, compute_dtype=compute_dtype),
+            alpha_bar,
+        )
     mstate = model_state if model_state is not None else {}
 
     @jax.jit

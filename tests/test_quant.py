@@ -155,3 +155,23 @@ def test_consistency_int8_sampler_runs():
             params, grid, num_images=2, model_kind="unet_small",
             compute_dtype="int8",
         )
+
+
+def test_distilled_int8_sampler_runs():
+    from igdm_tpu.models import unet4
+    from igdm_tpu.sampling.ancestral import make_distilled_sampler
+
+    key = jax.random.PRNGKey(7)
+    params = unet4.init(key, base_ch=8, levels=2)
+    grid = [0, 125, 250, 375, 500]
+    fn = make_distilled_sampler(
+        params, grid, num_images=2, image_size=(16, 16), compute_dtype="int8"
+    )
+    out = fn(jax.random.PRNGKey(1))
+    assert out.shape == (2, 16, 16, 1) and bool(jnp.isfinite(out).all())
+
+    with pytest.raises(ValueError):
+        make_distilled_sampler(
+            params, grid, num_images=2, model_kind="unet_small",
+            compute_dtype="int8",
+        )
