@@ -175,9 +175,11 @@ def bench_distilled(path: str, batch: int = 256, R: int = 20):
     params = jax.tree_util.tree_map(jnp.asarray, params)
     cfg = config_from_dict(DiffusionConfig, meta.get("diff_cfg", {}))
     grid = meta["distill"]["grid"]
+    kind = meta.get("model", "unet4")
     fn = make_distilled_sampler(
-        params, grid, cfg=cfg, num_images=batch,
-        model_kind=meta.get("model", "unet4"), compute_dtype="int8",
+        params, grid, cfg=cfg, num_images=batch, model_kind=kind,
+        # int8 is unet4-only; other kinds keep the prior bf16 config
+        compute_dtype="int8" if kind == "unet4" else jnp.bfloat16,
     )
 
     return _time_scan_repeat(fn, batch, R), len(grid) - 1
@@ -319,11 +321,13 @@ def bench_consistency(path: str, batch: int = 256, R: int = 100):
     params, _, meta = load_for_sampling(path, prefer_ema=False)
     params = jax.tree_util.tree_map(jnp.asarray, params)
     cfg = config_from_dict(DiffusionConfig, meta.get("diff_cfg", {}))
+    kind = meta.get("model", "unet4")
     fn = make_consistency_sampler(
         params, meta["consistency"]["grid"], cfg=cfg, num_images=batch,
-        steps=1, model_kind=meta.get("model", "unet4"),
+        steps=1, model_kind=kind,
         sigma_data=float(meta["consistency"].get("sigma_data", 0.5)),
-        compute_dtype="int8",
+        # int8 is unet4-only; other kinds keep the prior bf16 config
+        compute_dtype="int8" if kind == "unet4" else jnp.bfloat16,
     )
 
     return _time_scan_repeat(fn, batch, R)

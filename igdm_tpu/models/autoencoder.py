@@ -128,7 +128,14 @@ def decode(params, z, *, compute_dtype=None, act_scales=None, _tap=None):
     def blk(name, gn_name, x):
         if _tap is not None:
             _tap(name, x)
-        xs = None if act_scales is None else act_scales.get(name)
+        if act_scales is None:
+            xs = None
+        elif name in act_scales:
+            xs = act_scales[name]
+        else:  # a silent dynamic fallback would quietly lose the static-
+            # scale speedup this parameter exists to provide
+            raise KeyError(f"act_scales missing {name!r} — recalibrate "
+                           "(calibrate_decode_int8) for this decoder")
         return _block(d, name, gn_name, x, compute_dtype=compute_dtype, xscale=xs)
 
     h = blk("conv1", "gn1", z)

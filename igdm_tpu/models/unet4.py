@@ -199,6 +199,11 @@ def _apply_block(p, x, *, groups=8, use_pallas=None, compute_dtype=None,
             # (ops/quant.py); f32 dequant feeds the f32 GroupNorm, which
             # re-centers the quantization noise.
             full = name if prefix is None else f"{prefix}.{name}"
+            if full not in act_scales:
+                raise KeyError(
+                    f"act_scales missing {full!r} — the scales were calibrated "
+                    "for a different architecture; recalibrate on this model"
+                )
             return conv2d_int8_from_f32(
                 x.astype(jnp.float32), cp["w"], cp["b"], xscale=act_scales[full]
             )
@@ -320,3 +325,37 @@ def apply(
 
 def num_params(params) -> int:
     return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+
+
+def recording_apply(amax: dict):
+    """Calibration wrapper: ``fn(params, x, ts, **kw)`` runs :func:`apply`
+    with a tap that folds each conv input's abs-max into ``amax`` (eager —
+    used by every family's int8 calibrator; finalize with
+    ``ops.quant.finalize_scales``)."""
+
+    def fn(params, x, ts, **kw):
+        collect: dict = {}
+        out = apply(
+            params, x, ts,
+            _tap=lambda n, h: collect.__setitem__(n, jnp.max(jnp.abs(h))), **kw
+        )
+        for n, a in collect.items():
+            amax[n] = max(amax.get(n, 0.0), float(a))
+        return out
+
+    return fn
+
+
+def int8_apply_fn(act_scales: dict):
+    """The int8 serving closure shared by the consistency/distilled baked
+    samplers: ``(params, state, x_t, ts, train) -> (eps_or_v, state)`` with
+    static calibrated activation scales."""
+
+    def apply_fn(params, model_state, x_t, ts, train):
+        return (
+            apply(params, x_t, ts, final_sigmoid=False,
+                  compute_dtype="int8", act_scales=act_scales),
+            model_state,
+        )
+
+    return apply_fn

@@ -376,6 +376,10 @@ def apply_folded(folded, x, t_emb, *, compute_dtype=None, decompose_time_conv=Fa
         if _tap is not None and name is not None:
             _tap(name, h)
         if int8_mode and name is not None and act_scales is not None:
+            if name not in act_scales:
+                raise KeyError(
+                    f"act_scales missing {name!r} — recalibrate on this model"
+                )
             y = conv2d_int8_from_f32(
                 h.astype(jnp.float32), p["w"], p["b"], xscale=act_scales[name]
             )

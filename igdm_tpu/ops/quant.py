@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-DIMSPEC = ("NHWC", "HWIO", "NHWC")
+from igdm_tpu.ops.nn import DIMSPEC
 
 
 def quantize_weight_int8(w):
@@ -75,3 +75,11 @@ def conv2d_int8_from_f32(x, w, b=None, *, stride: int = 1, padding="SAME",
     wq, wscale = quantize_weight_int8(w)
     return conv2d_int8(x, wq, wscale, b, stride=stride, padding=padding,
                        xscale=xscale)
+
+
+def finalize_scales(amax: dict, *, headroom: float = 1.05) -> dict:
+    """Turn a calibration's per-conv abs-max record into static activation
+    scales: scale = amax * headroom / 127. Shared by every family's
+    calibrator (flow / consistency / distilled) so a future change to the
+    scale formula happens in exactly one place."""
+    return {n: a * headroom / 127.0 for n, a in amax.items()}

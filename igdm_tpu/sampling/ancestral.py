@@ -727,18 +727,11 @@ def calibrate_distilled_int8(
     mstate = model_state if model_state is not None else {}
     H, W = image_size
     amax: dict = {}
-
-    def base(p, ms, x_t, tvec, train):
-        collect: dict = {}
-        out = unet4.apply(
-            p, x_t, tvec, final_sigmoid=False,
-            _tap=lambda n, h: collect.__setitem__(n, jnp.max(jnp.abs(h))),
-        )
-        for n, a in collect.items():
-            amax[n] = max(amax.get(n, 0.0), float(a))
-        return out, ms
-
-    apply_fn = v_to_eps_apply_fn(base, alpha_bar)
+    rec = unet4.recording_apply(amax)
+    apply_fn = v_to_eps_apply_fn(
+        lambda p, ms, x_t, tvec, train: (rec(p, x_t, tvec, final_sigmoid=False), ms),
+        alpha_bar,
+    )
     for i in range(n_keys):
         x = jax.random.normal(
             jax.random.fold_in(key, i), (num_images, H, W, channels), jnp.float32
@@ -748,7 +741,9 @@ def calibrate_distilled_int8(
                 params, mstate, x, jnp.full((num_images,), t, jnp.int32), False
             )
             x = ddim_step(x, eps, ab_ext[t], ab_ext[t_prev], eta=0.0, noise=None)
-    return {n: a * headroom / 127.0 for n, a in amax.items()}
+    from igdm_tpu.ops.quant import finalize_scales
+
+    return finalize_scales(amax, headroom=headroom)
 
 
 def make_distilled_sampler(
@@ -795,16 +790,7 @@ def make_distilled_sampler(
                 num_images=min(num_images, 256), image_size=tuple(image_size),
                 channels=channels, model_state=model_state,
             )
-        scales = act_scales
-
-        def _base(p, ms, x_t, tvec, train):
-            return (
-                _unet4.apply(p, x_t, tvec, final_sigmoid=False,
-                             compute_dtype="int8", act_scales=scales),
-                ms,
-            )
-
-        apply_fn = v_to_eps_apply_fn(_base, alpha_bar)
+        apply_fn = v_to_eps_apply_fn(_unet4.int8_apply_fn(act_scales), alpha_bar)
     else:
         apply_fn = v_to_eps_apply_fn(
             make_apply_fn(model_kind, cfg.embed_dim, compute_dtype=compute_dtype),

@@ -138,16 +138,10 @@ def calibrate_consistency_int8(
     mstate = model_state if model_state is not None else {}
     H, W = image_size
     amax: dict = {}
+    rec = unet4.recording_apply(amax)
 
     def apply_fn(p, ms, x_t, ts, train):
-        collect: dict = {}
-        out = unet4.apply(
-            p, x_t, ts, final_sigmoid=False,
-            _tap=lambda n, h: collect.__setitem__(n, jnp.max(jnp.abs(h))),
-        )
-        for n, a in collect.items():
-            amax[n] = max(amax.get(n, 0.0), float(a))
-        return out, ms
+        return rec(p, x_t, ts, final_sigmoid=False), ms
 
     for i in range(n_keys):
         k0, km = jax.random.split(jax.random.fold_in(key, i))
@@ -161,7 +155,9 @@ def calibrate_consistency_int8(
             x0 = consistency_fn(
                 apply_fn, params, mstate, a_t * x0 + s_t * eps, t, ab_ext, sigma_data
             )
-    return {n: a * headroom / 127.0 for n, a in amax.items()}
+    from igdm_tpu.ops.quant import finalize_scales
+
+    return finalize_scales(amax, headroom=headroom)
 
 
 def make_consistency_sampler(
@@ -206,14 +202,7 @@ def make_consistency_sampler(
                 image_size=tuple(image_size), channels=channels,
                 model_state=model_state, sigma_data=sigma_data,
             )
-        scales = act_scales
-
-        def apply_fn(p, ms, x_t, ts, train):
-            return (
-                unet4.apply(p, x_t, ts, final_sigmoid=False,
-                            compute_dtype="int8", act_scales=scales),
-                ms,
-            )
+        apply_fn = unet4.int8_apply_fn(act_scales)
     else:
         apply_fn = make_apply_fn(model_kind, cfg.embed_dim, compute_dtype=compute_dtype)
     mstate = model_state if model_state is not None else {}

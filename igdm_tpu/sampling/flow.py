@@ -65,19 +65,19 @@ def calibrate_flow_int8(
     quantization a net loss on bandwidth-bound paths (BASELINE.md round-5
     int8 section); the chip A/B for reflow-1 measured +18% over bf16 at
     statistically identical 512x3 quality."""
+    if method not in ("euler", "heun"):
+        # validate BEFORE the eager calibration forwards — sample_flow_ode
+        # would only reject the method after minutes of wasted TPU work
+        raise ValueError(f"unknown flow ODE method {method!r}")
+    from igdm_tpu.ops.quant import finalize_scales
+
     H, W = image_size
     amax: dict = {}
+    rec = unet4.recording_apply(amax)
 
     def vfn(x, t):
-        collect: dict = {}
         ts = jnp.full((x.shape[0],), t, jnp.float32) * time_scale
-        v = unet4.apply(
-            params, x, ts, final_sigmoid=False,
-            _tap=lambda n, h: collect.__setitem__(n, jnp.max(jnp.abs(h))),
-        )
-        for n, a in collect.items():
-            amax[n] = max(amax.get(n, 0.0), float(a))
-        return v
+        return rec(params, x, ts, final_sigmoid=False)
 
     import numpy as _np
 
@@ -95,7 +95,7 @@ def calibrate_flow_int8(
                 x_pred = x + dt * v
                 v_next = vfn(x_pred, float(t_next))
                 x = x + dt * 0.5 * (v + v_next)
-    return {n: a * headroom / 127.0 for n, a in amax.items()}
+    return finalize_scales(amax, headroom=headroom)
 
 
 def sample_flow_ode(

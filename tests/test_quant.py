@@ -175,3 +175,30 @@ def test_distilled_int8_sampler_runs():
             params, grid, num_images=2, model_kind="unet_small",
             compute_dtype="int8",
         )
+
+
+def test_int8_guard_rails():
+    from igdm_tpu.models import unet4
+    from igdm_tpu.sampling.flow import calibrate_flow_int8
+
+    key = jax.random.PRNGKey(8)
+    params = unet4.init(key, base_ch=8, levels=2)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (2, 16, 16, 1), jnp.float32)
+    ts = jnp.full((2,), 100.0, jnp.float32)
+
+    # scales calibrated for a different architecture -> loud KeyError
+    with pytest.raises(KeyError, match="down1.conv1"):
+        unet4.apply(params, x, ts, compute_dtype="int8",
+                    act_scales={"wrong": 1.0})
+
+    # invalid ODE method rejected BEFORE the eager calibration forwards
+    with pytest.raises(ValueError, match="unknown flow ODE method"):
+        calibrate_flow_int8(params, key, method="midpoint", num_images=2,
+                            image_size=(16, 16))
+
+    # decoder: missing conv key -> loud KeyError, not a silent dynamic
+    # fallback that loses the static-scale speedup
+    ae = autoencoder.init(jax.random.fold_in(key, 2), base_ch=8, latent_ch=4)
+    z = jax.random.normal(jax.random.fold_in(key, 3), (2, 8, 8, 4), jnp.float32)
+    with pytest.raises(KeyError, match="up1"):
+        autoencoder.decode(ae, z, compute_dtype="int8", act_scales={"conv1": 0.1})
